@@ -1,0 +1,149 @@
+"""FIR filtering as overlap-save FFT convolution with carried tails.
+
+The reference computes one VOLK dot product per output sample over a sliding
+delay buffer (reference: core/src/dsp/filter/fir.h:67-84,
+decimating_fir.h:49-69). On TPU we batch a whole block: the carried state is
+the last ``ntaps-1`` input samples (the reference's delay-buffer head), the
+block is filtered in one FFT-sized circular convolution, and the new tail is
+sliced off the end. This keeps XLA shapes static and puts the FLOPs in
+batched FFTs instead of a scalar loop.
+
+Orientation: the reference applies taps by *correlation*
+(y[i] = sum_j taps[j] * buf[i+j], buf = [tail | x]), so we convolve with the
+reversed taps. Tap spectra are precomputed on host (NumPy) at trace time and
+baked into the jitted graph as constants.
+
+Decimation keeps the reference's phase semantics (first output at carried
+``offset``, then every R-th input sample, decimating_fir.h:55-66); block
+lengths must be a multiple of R so the offset phase is block-invariant and
+shapes stay static.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.blocks import Block
+
+__all__ = ["fir_correlate", "FIR", "DecimatingFIR", "fir_init_tail"]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+def _taps_spectrum(taps: np.ndarray, fft_len: int) -> np.ndarray:
+    """FFT of zero-padded reversed taps (host-side, float64 then complex64)."""
+    rev = np.asarray(taps)[::-1]
+    padded = np.zeros(fft_len, dtype=np.complex128)
+    padded[: rev.shape[0]] = rev
+    return np.fft.fft(padded).astype(np.complex64)
+
+
+def fir_init_tail(ntaps: int, dtype=jnp.complex64, lead_shape=()) -> jax.Array:
+    """Zeroed delay-line tail of ntaps-1 samples (reference fir.h:24-27)."""
+    return jnp.zeros((*lead_shape, ntaps - 1), dtype=dtype)
+
+
+def fir_correlate(tail: jax.Array, x: jax.Array, taps: np.ndarray) -> tuple[jax.Array, jax.Array]:
+    """Filter one block; returns (new_tail, y) with y.shape == x.shape.
+
+    y[i] = sum_j taps[j] * buf[i + j] with buf = concat([tail, x]) — exactly
+    the reference's sliding correlation (fir.h:67-76). Works over arbitrary
+    leading batch/channel axes (filtering along the last axis).
+    """
+    taps = np.asarray(taps)
+    m = taps.shape[0]
+    n = x.shape[-1]
+    if m == 1:
+        # Degenerate single-tap case (e.g. NFM's dummy filter).
+        scale = taps[0]
+        return tail, x * scale
+
+    buf = jnp.concatenate([tail, x], axis=-1)  # [..., n + m - 1]
+    fft_len = _next_pow2(n + 2 * (m - 1))
+    spec = jnp.asarray(_taps_spectrum(taps, fft_len))
+
+    complex_in = jnp.iscomplexobj(x)
+    xf = jnp.fft.fft(buf.astype(jnp.complex64), n=fft_len, axis=-1)
+    yf = xf * spec
+    y_full = jnp.fft.ifft(yf, axis=-1)
+    # Full linear convolution index (m-1) corresponds to correlation output 0.
+    y = jax.lax.slice_in_dim(y_full, m - 1, m - 1 + n, axis=-1)
+    if not complex_in and not np.iscomplexobj(taps):
+        y = y.real.astype(x.dtype)
+    else:
+        y = y.astype(jnp.complex64)
+    new_tail = jax.lax.slice_in_dim(buf, n, n + m - 1, axis=-1)
+    return new_tail, y
+
+
+class FIR(Block):
+    """1:1 FIR filter block with carried tail (reference fir.h:6-100)."""
+
+    def __init__(self, taps: np.ndarray, dtype=jnp.complex64, lead_shape=()):
+        self.taps = np.asarray(taps)
+        self.dtype = dtype
+        self.lead_shape = tuple(lead_shape)
+
+    def init_state(self):
+        return fir_init_tail(self.taps.shape[0], self.dtype, self.lead_shape)
+
+    def __call__(self, state, x):
+        return fir_correlate(state, x, self.taps)
+
+
+def decimating_fir_correlate(tail: jax.Array, x: jax.Array, taps: np.ndarray,
+                             decimation: int) -> tuple[jax.Array, jax.Array]:
+    """FIR + keep-every-R-th-output (reference decimating_fir.h:49-69).
+
+    Requires x block length to be a multiple of ``decimation`` so the output
+    length (n // R) and decimator phase are block-invariant. Computed as a
+    polyphase dot-product batch: windows of the buffer at stride R times the
+    taps — a dense [n/R, m] x [m] product that XLA maps onto the MXU/VPU,
+    instead of filtering all n samples and discarding (R-1)/R of them.
+    """
+    taps = np.asarray(taps)
+    m = taps.shape[0]
+    n = x.shape[-1]
+    r = int(decimation)
+    assert n % r == 0, f"block length {n} must be a multiple of decimation {r}"
+    out_n = n // r
+
+    buf = jnp.concatenate([tail, x], axis=-1)  # [..., n + m - 1]
+    # Gather strided windows: out[k] = sum_j taps[j] * buf[k*r + j].
+    # Implemented as sum over j of shifted strided slices — m slices of
+    # length out_n — which XLA fuses into a small number of vector ops.
+    # For large m an FFT path wins; pick by cost.
+    if m <= 64:
+        acc = None
+        for j in range(m):
+            sl = jax.lax.slice_in_dim(buf, j, j + n, axis=-1)[..., ::r]
+            term = sl * taps[j]
+            acc = term if acc is None else acc + term
+        y = acc
+    else:
+        # FFT path: full-rate correlation then stride.
+        _, y_full = fir_correlate(tail, x, taps)
+        y = y_full[..., ::r]
+    new_tail = jax.lax.slice_in_dim(buf, n, n + m - 1, axis=-1)
+    return new_tail, y
+
+
+class DecimatingFIR(Block):
+    """FIR evaluated every R-th sample (reference decimating_fir.h:6-100)."""
+
+    def __init__(self, taps: np.ndarray, decimation: int, dtype=jnp.complex64,
+                 lead_shape=()):
+        self.taps = np.asarray(taps)
+        self.decimation = int(decimation)
+        self.dtype = dtype
+        self.lead_shape = tuple(lead_shape)
+
+    def init_state(self):
+        return fir_init_tail(self.taps.shape[0], self.dtype, self.lead_shape)
+
+    def __call__(self, state, x):
+        return decimating_fir_correlate(state, x, self.taps, self.decimation)

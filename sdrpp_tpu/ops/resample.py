@@ -1,0 +1,226 @@
+"""Multirate: power-of-2 decimation cascade + polyphase rational resampling.
+
+TPU design: the reference's per-output-sample VOLK dot products
+(core/src/dsp/multirate/polyphase_resampler.h:75-92) become one batched
+gather + dense multiply-reduce per block. Because interp/decim are static
+configuration and block lengths are chosen as a multiple of ``decim``, the
+resampler's phase pattern is block-invariant: the per-output input offsets
+and phase-bank rows are precomputed on host and baked in as constants, so
+shapes stay static under jit.
+
+The power-of-2 pre-decimator uses the reference's auto-generated optimal
+stage plans and coefficient tables verbatim (pure data; reference:
+core/src/dsp/multirate/decim/plans.h:24-141, decim/taps/*.h) so decimated
+output matches the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.blocks import Block
+from .fir import decimating_fir_correlate, fir_init_tail
+from .taps import low_pass
+
+__all__ = [
+    "decim_plan",
+    "build_polyphase_bank",
+    "PowerDecimator",
+    "PolyphaseResampler",
+    "RationalResampler",
+]
+
+_DECIM_NPZ = Path(__file__).parent / "decim_taps.npz"
+
+
+@functools.lru_cache(maxsize=None)
+def _decim_tables():
+    return dict(np.load(_DECIM_NPZ, allow_pickle=False))
+
+
+def decim_plan(ratio: int) -> list[tuple[int, np.ndarray]]:
+    """Stage plan [(decimation, taps), ...] for a power-of-2 ratio
+    (reference: decim/plans.h:37-141)."""
+    tables = _decim_tables()
+    key = f"plan_{ratio}_decim"
+    if key not in tables:
+        raise ValueError(f"unsupported power-of-2 decimation ratio {ratio}")
+    decims = tables[key]
+    names = str(tables[f"plan_{ratio}_names"]).split("|")
+    return [(int(d), tables[n]) for d, n in zip(decims, names)]
+
+
+def max_power_decim_ratio() -> int:
+    return 8192  # 2^13 (reference: power_decimator.h:31-33)
+
+
+class PowerDecimator(Block):
+    """Cascaded half/quarter-band FIR power-of-2 decimator
+    (reference: core/src/dsp/multirate/power_decimator.h:8-119).
+
+    Input block length must be a multiple of ``ratio``."""
+
+    def __init__(self, ratio: int, dtype=jnp.complex64, lead_shape=()):
+        assert ratio >= 1 and (ratio & (ratio - 1)) == 0 and ratio <= max_power_decim_ratio()
+        self.ratio = int(ratio)
+        self.dtype = dtype
+        self.lead_shape = tuple(lead_shape)
+        self.stages = decim_plan(ratio) if ratio > 1 else []
+
+    def init_state(self):
+        return tuple(fir_init_tail(taps.shape[0], self.dtype, self.lead_shape)
+                     for _, taps in self.stages)
+
+    def __call__(self, state, x):
+        if self.ratio == 1:
+            return state, x
+        new_states = []
+        for (r, taps), tail in zip(self.stages, state):
+            tail, x = decimating_fir_correlate(tail, x, taps, r)
+            new_states.append(tail)
+        return tuple(new_states), x
+
+
+def build_polyphase_bank(taps: np.ndarray, interp: int) -> np.ndarray:
+    """Split taps into interp phases, reference layout
+    (core/src/dsp/multirate/polyphase_bank.h:25-45):
+    bank[(interp-1) - (i % interp)][i // interp] = taps[i], zero-padded."""
+    taps = np.asarray(taps)
+    tpp = (taps.shape[0] + interp - 1) // interp
+    bank = np.zeros((interp, tpp), dtype=taps.dtype)
+    for i in range(interp * tpp):
+        v = taps[i] if i < taps.shape[0] else 0
+        bank[(interp - 1) - (i % interp), i // interp] = v
+    return bank
+
+
+class PolyphaseResampler(Block):
+    """L/M rational resampler (reference: polyphase_resampler.h:8-125).
+
+    Per output k the reference advances a (phase, offset) pair; in closed form
+    with virtual index v_k = k*decim: offset_k = v_k // interp,
+    phase_k = v_k % interp. Block length must be a multiple of ``decim`` so
+    the carried v wraps to 0 every block and output length is static.
+    """
+
+    def __init__(self, interp: int, decim: int, taps: np.ndarray, dtype=jnp.complex64,
+                 lead_shape=()):
+        self.interp = int(interp)
+        self.decim = int(decim)
+        self.bank = build_polyphase_bank(taps, self.interp)
+        self.tpp = self.bank.shape[1]
+        self.dtype = dtype
+        self.lead_shape = tuple(lead_shape)
+
+    def out_count(self, n: int) -> int:
+        assert n % self.decim == 0, (n, self.decim)
+        return n * self.interp // self.decim
+
+    def init_state(self):
+        return jnp.zeros((*self.lead_shape, self.tpp - 1), dtype=self.dtype)
+
+    def _index_tables(self, n: int):
+        out_n = self.out_count(n)
+        v = np.arange(out_n, dtype=np.int64) * self.decim
+        offsets = (v // self.interp).astype(np.int32)
+        phases = (v % self.interp).astype(np.int32)
+        taps_sel = self.bank[phases]  # [out_n, tpp] static
+        return offsets, taps_sel
+
+    def __call__(self, state, x):
+        n = x.shape[-1]
+        offsets, taps_sel = self._index_tables(n)
+        buf = jnp.concatenate([state, x], axis=-1)
+        # windows[..., k, t] = buf[..., offsets[k] + t]
+        idx = offsets[:, None] + np.arange(self.tpp, dtype=np.int32)[None, :]
+        windows = buf[..., jnp.asarray(idx)]  # [..., out_n, tpp]
+        y = jnp.sum(windows * jnp.asarray(taps_sel), axis=-1)
+        y = y.astype(self.dtype) if jnp.iscomplexobj(x) else y
+        new_tail = buf[..., n:]
+        return new_tail, y
+
+
+def plan_rational_resampler(in_samplerate: float, out_samplerate: float):
+    """Replicates RationalResampler::reconfigure planning math
+    (reference: rational_resampler.h:121-167). Returns a dict plan."""
+    pre_power = int(np.floor(np.log2(in_samplerate / out_samplerate))) \
+        if in_samplerate > out_samplerate else 0
+    pre_power = min(pre_power, max_power_decim_ratio())
+    pre_ratio = min(1 << max(pre_power, 0), max_power_decim_ratio())
+    use_decim = in_samplerate > out_samplerate and pre_power > 0
+    int_samplerate = in_samplerate / pre_ratio if use_decim else in_samplerate
+
+    int_sr = int(round(int_samplerate))
+    out_sr = int(round(out_samplerate))
+    g = np.gcd(int_sr, out_sr)
+    interp = out_sr // g
+    decim = int_sr // g
+
+    actual_out = int_sr * interp / decim
+    error = abs((actual_out - out_samplerate) / out_samplerate) * 100.0
+    plan = {
+        "pre_ratio": pre_ratio if use_decim else 1,
+        "interp": interp,
+        "decim": decim,
+        "error_pct": error,
+        "use_resamp": interp != decim,
+        "taps": None,
+    }
+    if interp != decim:
+        tap_samplerate = int_samplerate * interp
+        tap_bandwidth = min(in_samplerate, out_samplerate) / 2.0
+        taps = low_pass(tap_bandwidth, tap_bandwidth * 0.1, tap_samplerate)
+        plan["taps"] = (taps * np.float32(interp)).astype(np.float32)
+    return plan
+
+
+class RationalResampler(Block):
+    """Arbitrary-rate resampler: power-of-2 pre-decimator + gcd-planned
+    polyphase stage (reference: rational_resampler.h:14-175).
+
+    ``block_multiple`` is the required input block-length multiple for static
+    shapes (pre_ratio * decim).
+    """
+
+    def __init__(self, in_samplerate: float, out_samplerate: float, dtype=jnp.complex64,
+                 lead_shape=()):
+        self.in_samplerate = float(in_samplerate)
+        self.out_samplerate = float(out_samplerate)
+        self.dtype = dtype
+        p = plan_rational_resampler(in_samplerate, out_samplerate)
+        self.plan = p
+        self.pre = PowerDecimator(p["pre_ratio"], dtype=dtype, lead_shape=lead_shape)
+        self.resamp = (PolyphaseResampler(p["interp"], p["decim"], p["taps"], dtype=dtype,
+                                          lead_shape=lead_shape)
+                       if p["use_resamp"] else None)
+        self.block_multiple = p["pre_ratio"] * (p["decim"] if p["use_resamp"] else 1)
+
+    def out_count(self, n: int) -> int:
+        assert n % self.block_multiple == 0, (n, self.block_multiple)
+        m = n // self.plan["pre_ratio"]
+        if self.resamp is not None:
+            m = m * self.plan["interp"] // self.plan["decim"]
+        return m
+
+    def init_state(self):
+        return {
+            "pre": self.pre.init_state(),
+            "resamp": self.resamp.init_state() if self.resamp else (),
+        }
+
+    def __call__(self, state, x):
+        if x.shape[-1] % self.block_multiple:
+            raise ValueError(
+                f"RationalResampler({self.in_samplerate:g}->{self.out_samplerate:g}) "
+                f"needs block length a multiple of {self.block_multiple}, got {x.shape[-1]}")
+        pre_state, x = self.pre(state["pre"], x)
+        if self.resamp is not None:
+            resamp_state, x = self.resamp(state["resamp"], x)
+        else:
+            resamp_state = ()
+        return {"pre": pre_state, "resamp": resamp_state}, x

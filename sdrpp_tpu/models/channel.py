@@ -1,0 +1,62 @@
+"""RxVFO: the digital down-converter (channel extraction) unit.
+
+Reference: core/src/dsp/channel/rx_vfo.h:6-135 — frequency xlator (negated
+offset) -> rational resampler -> optional channel low-pass when the
+bandwidth differs from the output rate (taps = lowPass(bw/2, 0.1*bw/2,
+outSamplerate)).
+
+This is the unit that scales across channels/chips: all blocks broadcast
+over leading axes, so a VFO *bank* is just ``lead_shape=(channels,)`` plus
+per-channel mix (see sdrpp_tpu/parallel/vfo_bank.py for the sharded bank).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import taps as taps_mod
+from ..ops.fir import FIR
+from ..ops.mix import FrequencyXlator
+from ..ops.resample import RationalResampler
+from ..utils.blocks import Block
+
+__all__ = ["RxVFO"]
+
+
+class RxVFO(Block):
+    def __init__(self, in_samplerate: float, out_samplerate: float,
+                 bandwidth: float, offset: float, lead_shape=()):
+        self.in_samplerate = float(in_samplerate)
+        self.out_samplerate = float(out_samplerate)
+        self.bandwidth = float(bandwidth)
+        self.offset = float(offset)
+        self.filter_needed = bandwidth != out_samplerate
+
+        self.xlator = FrequencyXlator(-offset, in_samplerate, lead_shape=lead_shape)
+        self.resamp = RationalResampler(in_samplerate, out_samplerate,
+                                        lead_shape=lead_shape)
+        self.block_multiple = self.resamp.block_multiple
+        if self.filter_needed:
+            fw = bandwidth / 2.0
+            self.filter = FIR(taps_mod.low_pass(fw, fw * 0.1, out_samplerate),
+                              dtype=jnp.complex64, lead_shape=lead_shape)
+        else:
+            self.filter = None
+
+    def out_count(self, n: int) -> int:
+        return self.resamp.out_count(n)
+
+    def init_state(self):
+        return {
+            "xlator": self.xlator.init_state(),
+            "resamp": self.resamp.init_state(),
+            "filter": self.filter.init_state() if self.filter else (),
+        }
+
+    def __call__(self, state, x):
+        xs, x = self.xlator(state["xlator"], x)
+        rs, x = self.resamp(state["resamp"], x)
+        fs = ()
+        if self.filter is not None:
+            fs, x = self.filter(state["filter"], x)
+        return {"xlator": xs, "resamp": rs, "filter": fs}, x

@@ -1,0 +1,150 @@
+"""RadioChannel: the full receive channel (the radio decoder module's graph).
+
+Reference: decoder_modules/radio/src/radio_module.h — VFO + IF chain
+(NoiseBlanker -> Squelch [-> FMIF]) + pluggable demodulator + AF chain
+(RationalResampler to the audio rate -> optional Deemphasis 22/50/75 us).
+Per-demod IF rates/bandwidths follow the demodulator wrappers
+(radio/src/demodulators/*.h).
+
+One RadioChannel is a single pure function over an IQ block; a bank of them
+shares the structure with a leading channel axis (parallel/vfo_bank.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.resample import RationalResampler
+from ..ops.scans import Deemphasis, NoiseBlanker, Squelch
+from ..utils.blocks import Block
+from .analog import AMDemod, CWDemod, NFMDemod, SSBDemod, WFMDemod
+from .channel import RxVFO
+
+__all__ = ["RadioChannel", "DEMOD_DEFAULTS"]
+
+# Per-demod IF sample rate and default bandwidth (radio/src/demodulators/*.h)
+DEMOD_DEFAULTS = {
+    "wfm": dict(if_rate=240000.0, bandwidth=200000.0),
+    "nfm": dict(if_rate=48000.0, bandwidth=12500.0),
+    "am": dict(if_rate=24000.0, bandwidth=12000.0),
+    "usb": dict(if_rate=48000.0, bandwidth=2700.0),
+    "lsb": dict(if_rate=48000.0, bandwidth=2700.0),
+    "dsb": dict(if_rate=48000.0, bandwidth=4600.0),
+    "cw": dict(if_rate=3000.0, bandwidth=500.0),
+}
+
+DEEMP_TAUS = {"22us": 22e-6, "50us": 50e-6, "75us": 75e-6, None: None}
+
+
+def _make_demod(mode: str, bandwidth: float, if_rate: float, lead_shape,
+                stereo_wfm: bool, rds: bool):
+    if mode == "wfm":
+        return WFMDemod(deviation=bandwidth / 2.0, samplerate=if_rate,
+                        stereo=stereo_wfm, rds_out=rds, lead_shape=lead_shape)
+    if mode == "nfm":
+        return NFMDemod(bandwidth=bandwidth, samplerate=if_rate, lead_shape=lead_shape)
+    if mode == "am":
+        return AMDemod(bandwidth=bandwidth, samplerate=if_rate, lead_shape=lead_shape)
+    if mode in ("usb", "lsb", "dsb"):
+        return SSBDemod(mode=mode, bandwidth=bandwidth, samplerate=if_rate,
+                        lead_shape=lead_shape)
+    if mode == "cw":
+        return CWDemod(samplerate=if_rate, lead_shape=lead_shape)
+    raise ValueError(f"unknown demod mode {mode}")
+
+
+class RadioChannel(Block):
+    """VFO -> [noise blanker] -> [squelch] -> demod -> AF resample -> [deemph].
+
+    ``mode``: wfm | nfm | am | usb | lsb | dsb | cw.
+    Output: float32 audio at ``audio_rate`` ([..., n] mono; [..., n, 2] for
+    stereo WFM). ``block_multiple`` gives the required input block multiple.
+    """
+
+    def __init__(self, mode: str, in_samplerate: float, offset: float = 0.0,
+                 bandwidth: float | None = None, audio_rate: float = 48000.0,
+                 squelch_level: float | None = None, noise_blanker: bool = False,
+                 deemphasis: str | None = None, stereo_wfm: bool = True,
+                 rds: bool = False, lead_shape=()):
+        mode = mode.lower()
+        defaults = DEMOD_DEFAULTS[mode]
+        self.mode = mode
+        if_rate = defaults["if_rate"]
+        bandwidth = bandwidth if bandwidth is not None else defaults["bandwidth"]
+        self.if_rate = if_rate
+        self.audio_rate = audio_rate
+        self.rds = rds and mode == "wfm"
+        ls = lead_shape
+
+        # VFO: bandwidth != out rate adds the channel filter (rx_vfo.h:30-33)
+        self.vfo = RxVFO(in_samplerate, if_rate, min(bandwidth, if_rate), offset,
+                         lead_shape=ls)
+        # IF chain (radio_module.h:68-79)
+        self.noise_blanker = (NoiseBlanker(500.0 / 24000.0, 10.0, lead_shape=ls)
+                              if noise_blanker else None)
+        self.squelch = (Squelch(squelch_level, lead_shape=ls)
+                        if squelch_level is not None else None)
+        self.demod = _make_demod(mode, bandwidth, if_rate, ls, stereo_wfm, self.rds)
+        self.stereo_out = mode == "wfm"
+        # AF chain (radio_module.h:81-88): demod AF rate -> audio rate
+        af_rate = if_rate  # all demods: AF rate == IF rate
+        self.af_resamp = (RationalResampler(af_rate, audio_rate, dtype=jnp.float32,
+                                            lead_shape=(*ls, 2) if self.stereo_out else ls)
+                          if af_rate != audio_rate else None)
+        tau = DEEMP_TAUS[deemphasis]
+        self.deemph = (Deemphasis(tau, audio_rate, stereo=self.stereo_out, lead_shape=ls)
+                       if tau is not None else None)
+
+        # Input block-length requirement for static shapes end to end: the
+        # input must divide cleanly by the VFO's multiple AND the resulting
+        # IF block by the AF resampler's multiple. Search the smallest
+        # multiple of the VFO requirement that satisfies both.
+        m = self.vfo.block_multiple
+        if self.af_resamp is not None:
+            af_bm = self.af_resamp.block_multiple
+            cand = m
+            for _ in range(100000):
+                if_n = self.vfo.out_count(cand)
+                if if_n % af_bm == 0:
+                    break
+                cand += m
+            else:
+                raise ValueError("no valid block multiple found")
+            m = cand
+        self.block_multiple = m
+
+    def init_state(self):
+        return {
+            "vfo": self.vfo.init_state(),
+            "nb": self.noise_blanker.init_state() if self.noise_blanker else (),
+            "squelch": self.squelch.init_state() if self.squelch else (),
+            "demod": self.demod.init_state(),
+            "af_resamp": self.af_resamp.init_state() if self.af_resamp else (),
+            "deemph": self.deemph.init_state() if self.deemph else (),
+        }
+
+    def __call__(self, state, x):
+        st = dict(state)
+        st["vfo"], x = self.vfo(state["vfo"], x)
+        if self.noise_blanker is not None:
+            st["nb"], x = self.noise_blanker(state["nb"], x)
+        if self.squelch is not None:
+            st["squelch"], x = self.squelch(state["squelch"], x)
+        rds = None
+        if self.rds:
+            st["demod"], (audio, rds) = self.demod(state["demod"], x)
+        else:
+            st["demod"], audio = self.demod(state["demod"], x)
+        if self.af_resamp is not None:
+            if self.stereo_out:
+                # [..., n, 2] -> [..., 2, n] for the last-axis resampler
+                a = jnp.swapaxes(audio, -1, -2)
+                st["af_resamp"], a = self.af_resamp(state["af_resamp"], a)
+                audio = jnp.swapaxes(a, -1, -2)
+            else:
+                st["af_resamp"], audio = self.af_resamp(state["af_resamp"], audio)
+        if self.deemph is not None:
+            st["deemph"], audio = self.deemph(state["deemph"], audio)
+        if self.rds:
+            return st, (audio, rds)
+        return st, audio

@@ -1,0 +1,95 @@
+"""End-to-end: BASELINE config #1 — file IQ -> VFO -> decimate -> AM -> audio.
+
+Writes a synthetic AM-channel IQ WAV, runs the full RadioChannel, writes the
+audio back to WAV, and checks recovered tone quality — the golden-file
+pattern from SURVEY.md §4 (implication (b))."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdrpp_tpu.io import wav
+from sdrpp_tpu.models.radio import RadioChannel
+
+
+def tone_snr(audio, fs, f0, skip=0.25):
+    seg = np.asarray(audio, np.float64)[int(len(audio) * skip):]
+    seg = seg - seg.mean()
+    win = np.hanning(len(seg))
+    S = np.abs(np.fft.rfft(seg * win)) ** 2
+    freqs = np.fft.rfftfreq(len(seg), 1 / fs)
+    k = np.argmin(np.abs(freqs - f0))
+    sig = S[max(k - 3, 0): k + 4].sum()
+    noise = S[1:].sum() - sig
+    return 10 * np.log10(sig / max(noise, 1e-30))
+
+
+@pytest.mark.parametrize("fmt", ["u8", "i16", "i24", "i32", "f32"])
+def test_wav_roundtrip(tmp_path, fmt):
+    rng = np.random.default_rng(0)
+    data = (rng.standard_normal((1000, 2)) * 0.5).clip(-1, 1).astype(np.float32)
+    p = tmp_path / f"t_{fmt}.wav"
+    wav.write_wav(p, 48000, data, fmt)
+    info, got = wav.read_wav(p)
+    assert info.samplerate == 48000 and info.channels == 2
+    tol = {"u8": 1e-2, "i16": 1e-4, "i24": 1e-6, "i32": 1e-7, "f32": 0}[fmt]
+    np.testing.assert_allclose(got, data, atol=tol + 1e-7)
+
+
+def test_wav_iq_mono_duplicates(tmp_path):
+    data = np.linspace(-0.5, 0.5, 100).astype(np.float32)
+    p = tmp_path / "mono.wav"
+    wav.write_wav(p, 96000, data, "f32")
+    fs, iq = wav.read_wav_iq(p)
+    assert fs == 96000
+    np.testing.assert_allclose(iq.real, iq.imag)
+
+
+def test_config1_file_am_chain(tmp_path):
+    # Synthesize: 96 kHz capture, AM channel at +20 kHz, 1 kHz audio tone.
+    fs_in = 96000.0
+    f_ch = 20000.0
+    f_aud = 1000.0
+    chan = RadioChannel("am", fs_in, offset=f_ch, audio_rate=48000.0)
+    n = chan.block_multiple * max(1, 192000 // chan.block_multiple)
+    t = np.arange(2 * n) / fs_in
+    msg = 0.5 * np.sin(2 * np.pi * f_aud * t)
+    iq = 0.5 * (1.0 + msg) * np.exp(2j * np.pi * f_ch * t)
+    iq = iq.astype(np.complex64)
+
+    # Through the file path (stereo IQ WAV, 16-bit like typical captures).
+    p = tmp_path / "capture.wav"
+    wav.write_wav(p, int(fs_in), np.stack([iq.real, iq.imag], -1), "i16")
+    fs_read, iq_read = wav.read_wav_iq(p)
+    assert fs_read == fs_in
+
+    step = jax.jit(lambda st, x: chan(st, x))
+    st = chan.init_state()
+    outs = []
+    for blk in (iq_read[:n], iq_read[n:2 * n]):
+        st, audio = step(st, jnp.asarray(blk))
+        outs.append(np.asarray(audio))
+    audio = np.concatenate(outs)
+
+    out_rate = 48000.0
+    assert len(audio) == int(2 * n * out_rate / fs_in)
+    snr = tone_snr(audio, out_rate, f_aud)
+    assert snr > 30, snr
+
+    # Write the audio out (the recorder sink path).
+    wav.write_wav(tmp_path / "audio.wav", int(out_rate), audio, "i16")
+    info, back = wav.read_wav(tmp_path / "audio.wav")
+    assert info.samplerate == int(out_rate)
+
+
+def test_config1_squelch_and_blanker_path(tmp_path):
+    fs_in = 96000.0
+    chan = RadioChannel("am", fs_in, offset=10000.0, squelch_level=-50.0,
+                        noise_blanker=True)
+    n = chan.block_multiple * max(1, 48000 // chan.block_multiple)
+    t = np.arange(n) / fs_in
+    iq = (0.5 * np.exp(2j * np.pi * 10000.0 * t)).astype(np.complex64)
+    st = chan.init_state()
+    st, audio = jax.jit(chan)(st, jnp.asarray(iq))
+    assert np.all(np.isfinite(np.asarray(audio)))

@@ -113,21 +113,25 @@ def decimating_fir_correlate(tail: jax.Array, x: jax.Array, taps: np.ndarray,
     out_n = n // r
 
     buf = jnp.concatenate([tail, x], axis=-1)  # [..., n + m - 1]
-    # Gather strided windows: out[k] = sum_j taps[j] * buf[k*r + j].
-    # Implemented as sum over j of shifted strided slices — m slices of
-    # length out_n — which XLA fuses into a small number of vector ops.
-    # For large m an FFT path wins; pick by cost.
-    if m <= 64:
-        acc = None
-        for j in range(m):
-            sl = jax.lax.slice_in_dim(buf, j, j + n, axis=-1)[..., ::r]
-            term = sl * taps[j]
-            acc = term if acc is None else acc + term
-        y = acc
-    else:
-        # FFT path: full-rate correlation then stride.
-        _, y_full = fir_correlate(tail, x, taps)
-        y = y_full[..., ::r]
+    # Polyphase decomposition: with j = p + r*t,
+    #   y[k] = sum_p sum_t taps[p + r*t] * buf[r*(k+t) + p]
+    # i.e. r short correlations over the r strided sub-streams of buf —
+    # total work n*m/r multiply-adds (vs n*m for filter-then-discard).
+    tpp = -(-m // r)  # taps per phase
+    pad = r * (out_n + tpp) - (n + m - 1)
+    bufp = jnp.pad(buf, [(0, 0)] * (buf.ndim - 1) + [(0, pad)])
+    sub = bufp.reshape(*buf.shape[:-1], out_n + tpp, r)
+    sub = jnp.swapaxes(sub, -1, -2)  # [..., r, out_n + tpp]; sub[p, t'] = buf[r t' + p]
+    taps_pad = np.zeros(r * tpp, taps.dtype)
+    taps_pad[:m] = taps
+    tp = taps_pad.reshape(tpp, r).T  # tp[p, t] = taps[p + r*t]
+    acc = None
+    for t in range(tpp):
+        term = jax.lax.slice_in_dim(sub, t, t + out_n, axis=-1) * tp[:, t][:, None]
+        acc = term if acc is None else acc + term
+    y = jnp.sum(acc, axis=-2)
+    if not jnp.iscomplexobj(x) and not np.iscomplexobj(taps):
+        y = y.astype(x.dtype)
     new_tail = jax.lax.slice_in_dim(buf, n, n + m - 1, axis=-1)
     return new_tail, y
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..utils.blocks import Block
 
-__all__ = ["mix", "FrequencyXlator", "hz_to_rads"]
+__all__ = ["mix", "mix_bank", "FrequencyXlator", "FrequencyXlatorBank", "hz_to_rads"]
 
 TWO_PI = 2.0 * np.pi
 
@@ -44,6 +44,59 @@ def mix(phase: jax.Array, x: jax.Array, omega: float) -> tuple[jax.Array, jax.Ar
     step = np.float32(np.mod(n * float(omega), TWO_PI))
     new_phase = jnp.mod(phase + step, np.float32(TWO_PI))
     return new_phase, y
+
+
+def mix_bank(phase: jax.Array, x: jax.Array, omegas: np.ndarray,
+             block_len: int | None = None) -> tuple[jax.Array, jax.Array]:
+    """Mix a wideband block against a BANK of NCOs (one per channel).
+
+    ``phase``: [C] float32 carried phases; ``x``: [n] (shared wideband) or
+    [C, n]; ``omegas``: static per-channel rad/sample (np array, length C).
+    Returns (new_phase [C], y [C, n]).
+
+    The per-channel phase ramp mod 2pi is factored as i = a*K + b so only
+    two small host-precomputed tables ([C, n/K] and [C, K], each term
+    already wrapped) are materialized; their broadcast sum fuses into the
+    complex multiply, so the [C, n] ramp never hits HBM as a separate
+    array. This is the VFO-bank equivalent of the reference's per-VFO VOLK
+    rotator (frequency_xlator.h:44-48), batched across channels.
+    """
+    omegas = np.asarray(omegas, dtype=np.float64)
+    c = omegas.shape[0]
+    n = x.shape[-1] if block_len is None else block_len
+    k = 1 << min(12, max(1, (int(n).bit_length() // 2)))
+    while n % k:
+        k >>= 1
+    a = n // k
+    hi = np.mod(np.arange(a, dtype=np.float64)[None, :] * (k * omegas[:, None]),
+                TWO_PI).astype(np.float32)  # [C, a]
+    lo = np.mod(np.arange(k, dtype=np.float64)[None, :] * omegas[:, None],
+                TWO_PI).astype(np.float32)  # [C, k]
+    ph = (phase[:, None, None] + jnp.asarray(hi)[:, :, None] + jnp.asarray(lo)[:, None, :])
+    ph = jnp.mod(ph, np.float32(TWO_PI)).reshape(c, n)
+    lo_osc = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    y = x * lo_osc if x.ndim > 1 else x[None, :] * lo_osc
+    step = np.mod(n * omegas, TWO_PI).astype(np.float32)
+    new_phase = jnp.mod(phase + jnp.asarray(step), np.float32(TWO_PI))
+    return new_phase, y
+
+
+class FrequencyXlatorBank(Block):
+    """Per-channel frequency translation over a channel axis.
+
+    ``offsets_hz``: array of per-channel offsets (the bank mixes by
+    +offset; pass negated VFO offsets as RxVFO does, rx_vfo.h:30)."""
+
+    def __init__(self, offsets_hz, samplerate: float):
+        self.omegas = np.asarray(
+            [hz_to_rads(o, samplerate) for o in np.asarray(offsets_hz)], np.float64)
+        self.channels = self.omegas.shape[0]
+
+    def init_state(self):
+        return jnp.zeros((self.channels,), dtype=jnp.float32)
+
+    def __call__(self, state, x):
+        return mix_bank(state, x, self.omegas)
 
 
 class FrequencyXlator(Block):

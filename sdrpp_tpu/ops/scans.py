@@ -422,6 +422,9 @@ class Squelch(Block):
         seq = jnp.moveaxis(level, -1, 0)
         (mute_f, cnt_f), mutes = jax.lax.scan(step, (state["mute"], state["cnt"]), seq)
         mutes = jnp.moveaxis(mutes, 0, -1)  # [..., sb]
-        gate = jnp.where(mutes, 0.0, 1.0)[..., :, None]
-        y = (frames * gate.astype(frames.dtype)).reshape(x.shape)
+        # Select (not multiply): the reference memsets muted blocks to +0
+        # (squelch.h:59); multiplying by 0 would produce -0.0 for negative
+        # samples and atan2(+0, -0) = pi in a downstream FM discriminator.
+        zero = jnp.zeros((), frames.dtype)
+        y = jnp.where(mutes[..., :, None], zero, frames).reshape(x.shape)
         return {"mute": mute_f, "cnt": cnt_f}, y

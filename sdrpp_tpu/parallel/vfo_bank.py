@@ -1,0 +1,135 @@
+"""VFO bank: N digital down-converters + demodulators over a channel axis.
+
+The reference runs one thread-chain per VFO, fanned out by a Splitter
+(core/src/signal_path/iq_frontend.cpp:122-142; one VFO = RxVFO at
+channel/rx_vfo.h:6-135). Here the bank is a single batched computation: mix
+the shared wideband block against a bank of NCOs -> [channels, n], then
+resample/filter/demodulate with a leading channel axis. Sharding the
+channel axis across a mesh (PartitionSpec('channels', None)) makes GSPMD
+partition every per-channel op with zero communication — the wideband input
+is replicated to each chip, which is the right trade for ICI (one broadcast
+vs per-sample collectives). This is BASELINE config #4's "64-channel
+scanner" and the "thousands of channels" scaling axis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.analog import AMDemod, CWDemod, NFMDemod, SSBDemod
+from ..ops import taps as taps_mod
+from ..ops.fir import FIR
+from ..ops.mix import FrequencyXlatorBank
+from ..ops.resample import RationalResampler
+from ..ops.scans import Squelch
+from ..utils.blocks import Block
+
+__all__ = ["VFOBank", "ScannerBank"]
+
+
+class VFOBank(Block):
+    """Bank of RxVFOs: per-channel mix -> shared-plan resample -> channel LPF.
+
+    All channels share out_samplerate/bandwidth (the scanner pattern);
+    offsets differ per channel. Input: wideband [n] complex64 (or [C, n]).
+    Output: [C, n_out].
+    """
+
+    def __init__(self, offsets_hz, in_samplerate: float, out_samplerate: float,
+                 bandwidth: float):
+        offsets_hz = np.asarray(offsets_hz, np.float64)
+        self.channels = len(offsets_hz)
+        ls = (self.channels,)
+        self.xlator = FrequencyXlatorBank(-offsets_hz, in_samplerate)
+        self.resamp = RationalResampler(in_samplerate, out_samplerate, lead_shape=ls)
+        self.block_multiple = self.resamp.block_multiple
+        self.filter_needed = bandwidth != out_samplerate
+        if self.filter_needed:
+            fw = bandwidth / 2.0
+            self.filter = FIR(taps_mod.low_pass(fw, fw * 0.1, out_samplerate),
+                              dtype=jnp.complex64, lead_shape=ls)
+        else:
+            self.filter = None
+
+    def out_count(self, n: int) -> int:
+        return self.resamp.out_count(n)
+
+    def init_state(self):
+        return {
+            "xlator": self.xlator.init_state(),
+            "resamp": self.resamp.init_state(),
+            "filter": self.filter.init_state() if self.filter else (),
+        }
+
+    def __call__(self, state, x):
+        xs, y = self.xlator(state["xlator"], x)
+        rs, y = self.resamp(state["resamp"], y)
+        fs = ()
+        if self.filter is not None:
+            fs, y = self.filter(state["filter"], y)
+        return {"xlator": xs, "resamp": rs, "filter": fs}, y
+
+
+_DEMODS = {
+    "am": lambda rate, bw, ls: AMDemod(bandwidth=bw, samplerate=rate, lead_shape=ls),
+    "nfm": lambda rate, bw, ls: NFMDemod(bandwidth=bw, samplerate=rate, lead_shape=ls),
+    "usb": lambda rate, bw, ls: SSBDemod("usb", bandwidth=bw, samplerate=rate,
+                                         lead_shape=ls),
+    "lsb": lambda rate, bw, ls: SSBDemod("lsb", bandwidth=bw, samplerate=rate,
+                                         lead_shape=ls),
+    "cw": lambda rate, bw, ls: CWDemod(samplerate=rate, lead_shape=ls),
+}
+
+
+class ScannerBank(Block):
+    """Multi-channel scanner: VFO bank + per-channel squelch + demod bank
+    (BASELINE config #4: SSB/CW chain with AGC + squelch, 64 channels).
+
+    Output: [C, n_audio] float32 audio per channel.
+    """
+
+    def __init__(self, offsets_hz, in_samplerate: float, mode: str = "usb",
+                 if_rate: float = 48000.0, bandwidth: float = 2700.0,
+                 squelch_level: float | None = None):
+        self.channels = len(np.asarray(offsets_hz))
+        ls = (self.channels,)
+        self.vfo = VFOBank(offsets_hz, in_samplerate, if_rate,
+                           min(bandwidth, if_rate))
+        self.squelch = (Squelch(squelch_level, lead_shape=ls)
+                        if squelch_level is not None else None)
+        self.demod = _DEMODS[mode](if_rate, bandwidth, ls)
+        self.block_multiple = self.vfo.block_multiple
+
+    def init_state(self):
+        return {
+            "vfo": self.vfo.init_state(),
+            "squelch": self.squelch.init_state() if self.squelch else (),
+            "demod": self.demod.init_state(),
+        }
+
+    def __call__(self, state, x):
+        vs, y = self.vfo(state["vfo"], x)
+        ss = ()
+        if self.squelch is not None:
+            ss, y = self.squelch(state["squelch"], y)
+        ds, audio = self.demod(state["demod"], y)
+        return {"vfo": vs, "squelch": ss, "demod": ds}, audio
+
+    def shard(self, mesh, state):
+        """Place the carried state with the channel axis sharded over
+        ``mesh``; returns (sharded_state, in_sharding, out_sharding)."""
+        def shard_leaf(leaf):
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
+                    leaf.shape[0] == self.channels:
+                spec = P("channels", *([None] * (leaf.ndim - 1)))
+            else:
+                spec = P()
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+        sharded = jax.tree_util.tree_map(shard_leaf, state)
+        in_sh = NamedSharding(mesh, P())  # wideband input replicated
+        out_sh = NamedSharding(mesh, P("channels", None))
+        return sharded, in_sh, out_sh

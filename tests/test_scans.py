@@ -185,6 +185,21 @@ def test_squelch_mutes_noise_passes_signal():
     assert np.any(np.asarray(y_loud) != 0)
 
 
+def test_squelch_then_fm_demod_is_silent():
+    # Regression: gating by multiplication produced -0.0 samples and
+    # atan2(+0, -0) = pi made the FM discriminator output full-scale noise
+    # on muted blocks. Muted -> demodulated audio must be exactly 0.
+    rng = np.random.default_rng(7)
+    x = (0.001 * (rng.standard_normal(2048) + 1j * rng.standard_normal(2048))
+         ).astype(np.complex64)
+    sq = scans.Squelch(-30.0)
+    st, y = sq(sq.init_state(), jnp.asarray(x))
+    assert np.all(np.asarray(y) == 0)
+    blk = fm.Quadrature(5000.0, 48000.0)
+    st2, audio = blk(blk.init_state(), y)
+    assert np.all(np.asarray(audio) == 0)
+
+
 def test_quadrature_fm_demod():
     fs = 48000.0
     dev = 5000.0

@@ -1,0 +1,165 @@
+"""Digital chain tests: MM clock recovery, slicers, PSK/GFSK/Meteor demods."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdrpp_tpu.ops import digital
+from sdrpp_tpu.ops.clock_recovery import MMClockRecovery
+from sdrpp_tpu.models.digital import GFSKDemod, MeteorDemod, PSKDemod
+
+
+def make_bpsk(symbols, sps, beta=0.35, ntaps=31):
+    """Upsample symbols and RRC-shape (matched to the demod's RRC)."""
+    from sdrpp_tpu.ops.taps import root_raised_cosine
+    x = np.zeros(len(symbols) * sps, np.complex64)
+    x[::sps] = symbols
+    t = root_raised_cosine(ntaps, beta, float(sps)).astype(np.float64)
+    return np.convolve(x, t, mode="same").astype(np.complex64)
+
+
+def test_mm_float_recovers_symbols():
+    rng = np.random.default_rng(0)
+    sps = 10
+    nsym = 500
+    bits = rng.integers(0, 2, nsym) * 2.0 - 1.0
+    # NRZ with simple pulse shaping (box) — MM on float.
+    x = np.repeat(bits, sps).astype(np.float32)
+    mm = MMClockRecovery(omega=sps, omega_gain=0.001, mu_gain=0.01,
+                         omega_rel_limit=0.05, complex_input=False)
+    st = mm.init_state()
+    st, (syms, valid) = jax.jit(mm)(st, jnp.asarray(x))
+    syms = np.asarray(syms)
+    nv = int(np.asarray(valid).sum())
+    assert nv > nsym * 0.9
+    # Drop the first symbols (initial zero tail), then search the symbol/bit
+    # alignment offset both ways.
+    got_bits = syms[2:nv] > 0
+    best = 0
+    for off in range(4):
+        m = min(len(got_bits), nsym - off)
+        best = max(best, np.mean(got_bits[:m] == (bits[off: off + m] > 0)))
+    assert best > 0.97, best
+
+
+def test_mm_valid_is_prefix():
+    mm = MMClockRecovery(omega=8.0, omega_gain=0.001, mu_gain=0.01,
+                         complex_input=False)
+    st = mm.init_state()
+    st, (syms, valid) = mm(st, jnp.ones(800, jnp.float32))
+    v = np.asarray(valid)
+    # Valid mask must be a contiguous prefix.
+    nv = v.sum()
+    assert np.all(v[:nv]) and not np.any(v[nv:])
+
+
+def test_mm_multiblock_continuity():
+    rng = np.random.default_rng(1)
+    sps = 8
+    bits = rng.integers(0, 2, 1000) * 2.0 - 1.0
+    x = np.repeat(bits, sps).astype(np.float32)
+    mm = MMClockRecovery(omega=sps, omega_gain=0.001, mu_gain=0.01,
+                         complex_input=False)
+    st = mm.init_state()
+    all_syms = []
+    for blk in np.split(x, 4):
+        st, (syms, valid) = mm(st, jnp.asarray(blk))
+        nv = int(np.asarray(valid).sum())
+        all_syms.append(np.asarray(syms)[:nv])
+    total = np.concatenate(all_syms)
+    # Should produce ~1000 symbols overall
+    assert abs(len(total) - 1000) < 20
+    got = total[2:] > 0
+    best = 0
+    for off in range(4):
+        m = min(len(got), len(bits) - off)
+        best = max(best, np.mean(got[:m] == (bits[off: off + m] > 0)))
+    assert best > 0.95, best
+
+
+def test_binary_slicer_and_diff_decoder():
+    x = jnp.asarray(np.array([0.5, -0.2, 1.0, -1.0, 0.0], np.float32))
+    bits = digital.binary_slicer(x)
+    np.testing.assert_array_equal(np.asarray(bits), [1, 0, 1, 0, 0])
+
+    dd = digital.DifferentialDecoder(modulus=2)
+    st = dd.init_state()
+    syms = jnp.asarray(np.array([1, 1, 0, 1, 0], np.uint8))
+    st, out = dd(st, (syms, jnp.asarray(5)))
+    # out[i] = (in[i]-last+2)%2
+    np.testing.assert_array_equal(np.asarray(out), [1, 0, 1, 1, 1])
+    assert int(st) == 0  # last symbol
+
+
+def test_manchester_decode():
+    bits = jnp.asarray(np.array([1, 0, 1, 1, 0, 0, 1, 0], np.uint8))
+    off, out, cnt = digital.manchester_decode(jnp.asarray(0), bits, jnp.asarray(8))
+    assert int(cnt) == 4
+    np.testing.assert_array_equal(np.asarray(out)[:4], [1, 1, 0, 1])
+    assert int(off) == 0
+
+
+def test_psk2_demod_end_to_end():
+    rng = np.random.default_rng(2)
+    sps = 5
+    nsym = 2000
+    bits = rng.integers(0, 2, nsym) * 2.0 - 1.0
+    x = make_bpsk(bits, sps)
+    d = PSKDemod(2, symbolrate=1.0, samplerate=float(sps), rrc_tap_count=31,
+                 rrc_beta=0.35, agc_rate=0.01, costas_bandwidth=0.01,
+                 omega_gain=0.001, mu_gain=0.01)
+    st = d.init_state()
+    st, (syms, valid) = jax.jit(d)(st, jnp.asarray(x))
+    nv = int(np.asarray(valid).sum())
+    assert nv > nsym * 0.9
+    got = np.asarray(syms)[nv // 2: nv]  # after lock
+    # BPSK decisions should be strongly bimodal on the real axis (up to
+    # 180-degree phase ambiguity).
+    re = got.real
+    assert np.mean(np.abs(re) > 0.3) > 0.9
+
+
+def test_gfsk_demod_end_to_end():
+    rng = np.random.default_rng(3)
+    sps = 8
+    nsym = 1000
+    bits = rng.integers(0, 2, nsym) * 2.0 - 1.0
+    sym_wave = np.repeat(bits, sps)
+    fs = float(sps)
+    dev = 0.25 * fs  # rad freq dev in Hz terms at fs
+    phase = np.cumsum(2 * np.pi * dev * sym_wave / fs)
+    x = np.exp(1j * phase).astype(np.complex64)
+    d = GFSKDemod(symbolrate=1.0, samplerate=fs, deviation=dev,
+                  rrc_tap_count=31, rrc_beta=0.5, omega_gain=0.001, mu_gain=0.01)
+    st = d.init_state()
+    st, (syms, valid) = jax.jit(d)(st, jnp.asarray(x))
+    nv = int(np.asarray(valid).sum())
+    got = np.asarray(syms)[nv // 2: nv]
+    assert np.mean(np.abs(got) > 0.2) > 0.9
+
+
+def test_meteor_demod_qpsk():
+    rng = np.random.default_rng(4)
+    sps = 150000.0 / 72000.0  # reference rates: 150k samp, 72k sym
+    nsym = 4000
+    qpsk = np.exp(1j * (np.pi / 4 + np.pi / 2 * rng.integers(0, 4, nsym)))
+    # Fractional sps: synthesize at 150k via interpolation of symbol impulses.
+    n = int(nsym * sps)
+    tsym = np.arange(n) / sps  # symbol-time at each sample
+    k = np.floor(tsym).astype(int)
+    x = qpsk[np.clip(k, 0, nsym - 1)].astype(np.complex64)  # NRZ hold
+    d = MeteorDemod(symbolrate=72000.0, samplerate=150000.0,
+                    costas_bandwidth=0.01, agc_rate=0.01)
+    st = d.init_state()
+    st, (syms, valid) = jax.jit(d)(st, jnp.asarray(x))
+    nv = int(np.asarray(valid).sum())
+    assert nv > nsym * 0.9
+    got = np.asarray(syms)[nv // 2: nv]
+    # Locked QPSK: symbols should cluster away from axes moderately;
+    # check amplitude consistency (AGC to ~1) and 4-phase clustering.
+    ph = np.angle(got)
+    # fold into [0, pi/2): clusters near a single value
+    folded = np.mod(ph, np.pi / 2)
+    hist, _ = np.histogram(folded, bins=9, range=(0, np.pi / 2))
+    assert hist.max() > 0.5 * hist.sum(), hist

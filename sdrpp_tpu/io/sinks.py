@@ -1,0 +1,95 @@
+"""Audio sinks: WAV file, buffer, null; stream registry with volume.
+
+Reference: core/src/signal_path/sink.{h,cpp} — named stereo streams, each a
+splitter -> volume -> pluggable provider (audio device / network / file).
+On a TPU host the providers are files/buffers/sockets; volume is the same
+log-scale multiplier applied host-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import wav
+
+__all__ = ["WavSink", "BufferSink", "NullSink", "SinkManager"]
+
+
+class WavSink:
+    """Accumulate audio and flush to a WAV file (the recorder's audio path,
+    misc_modules/recorder/src/main.cpp)."""
+
+    def __init__(self, path, samplerate: int, sample_format: str = "i16"):
+        self.path = path
+        self.samplerate = int(samplerate)
+        self.sample_format = sample_format
+        self._chunks: list[np.ndarray] = []
+
+    def write(self, audio: np.ndarray):
+        self._chunks.append(np.asarray(audio, np.float32))
+
+    def close(self):
+        data = np.concatenate(self._chunks) if self._chunks else np.zeros(0, np.float32)
+        wav.write_wav(self.path, self.samplerate, data, self.sample_format)
+        self._chunks = []
+
+
+class BufferSink:
+    def __init__(self):
+        self._chunks: list[np.ndarray] = []
+
+    def write(self, audio):
+        self._chunks.append(np.asarray(audio, np.float32))
+
+    def data(self) -> np.ndarray:
+        return (np.concatenate(self._chunks)
+                if self._chunks else np.zeros(0, np.float32))
+
+    def close(self):
+        pass
+
+
+class NullSink:
+    def write(self, audio):
+        pass
+
+    def close(self):
+        pass
+
+
+class SinkManager:
+    """Named audio streams with per-stream volume (sink.h:13-134)."""
+
+    def __init__(self):
+        self._streams: dict[str, dict] = {}
+
+    def register_stream(self, name: str, samplerate: float, provider=None):
+        self._streams[name] = {
+            "samplerate": samplerate,
+            "provider": provider or NullSink(),
+            "volume": 1.0,
+            "muted": False,
+        }
+
+    def unregister_stream(self, name: str):
+        s = self._streams.pop(name, None)
+        if s:
+            s["provider"].close()
+
+    def set_provider(self, name: str, provider):
+        self._streams[name]["provider"] = provider
+
+    def set_volume(self, name: str, volume: float):
+        self._streams[name]["volume"] = float(volume)
+
+    def set_muted(self, name: str, muted: bool):
+        self._streams[name]["muted"] = bool(muted)
+
+    def write(self, name: str, audio: np.ndarray):
+        s = self._streams[name]
+        gain = 0.0 if s["muted"] else s["volume"]
+        s["provider"].write(np.asarray(audio, np.float32) * np.float32(gain))
+
+    def close(self):
+        for s in self._streams.values():
+            s["provider"].close()

@@ -52,6 +52,7 @@ class SpectrumFFT:
         self.fft_size = int(fft_size)
         self.samplerate = float(samplerate)
         self.fft_rate = float(fft_rate)
+        self.window_kind = window
         skip, nz = gen_reshape_params(samplerate, fft_size, fft_rate)
         self.skip = skip
         self.nz = nz

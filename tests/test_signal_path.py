@@ -1,0 +1,130 @@
+"""IQFrontEnd / SpectrumFFT / Receiver orchestration tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sdrpp_tpu.io.sinks import BufferSink
+from sdrpp_tpu.io.sources import TestSource, detect_center_freq
+from sdrpp_tpu.ops.spectrum import SpectrumFFT, fft_zoom, gen_reshape_params
+from sdrpp_tpu.ops.windows import Window
+from sdrpp_tpu.receiver import Receiver
+from sdrpp_tpu.signal_path import IQFrontEnd
+
+
+def test_gen_reshape_params():
+    # fs=1e6, size=65536, rate=20 -> interval 50000 < size: nz=50000, skip=0
+    skip, nz = gen_reshape_params(1e6, 65536, 20.0)
+    assert nz == 50000 and skip == 0
+    # rate=10 -> interval 100000 > size: nz=65536, skip=34464
+    skip, nz = gen_reshape_params(1e6, 65536, 10.0)
+    assert nz == 65536 and skip == 100000 - 65536
+
+
+def test_spectrum_tone_magnitude_and_center():
+    fs = 100000.0
+    size = 4096
+    spec = SpectrumFFT(size, fs, fs / size, Window.NUTTALL)
+    assert spec.frame_len == size and spec.nz == size
+    n = size * 4
+    t = np.arange(n) / fs
+    # Full-scale tone at +12.5 kHz
+    x = np.exp(2j * np.pi * 12500.0 * t).astype(np.complex64)
+    lines = np.asarray(spec(jnp.asarray(x)))
+    assert lines.shape == (4, size)
+    line = lines[2]
+    # Centered output: DC at bin size/2; +12.5k at size/2 + 12500/fs*size
+    peak_bin = np.argmax(line)
+    want_bin = size // 2 + int(12500.0 / fs * size)
+    assert abs(peak_bin - want_bin) <= 1
+    # Unity-gain window: full-scale tone peaks at ~0 dB
+    assert abs(line[peak_bin]) < 0.5, line[peak_bin]
+
+
+def test_spectrum_zero_padding_path():
+    fs = 100000.0
+    size = 8192
+    spec = SpectrumFFT(size, fs, 25.0, Window.NUTTALL)  # interval 4000 < size
+    assert spec.nz == 4000 and spec.skip == 0
+    x = np.exp(2j * np.pi * 10000.0 * np.arange(8000) / fs).astype(np.complex64)
+    lines = np.asarray(spec(jnp.asarray(x)))
+    assert lines.shape == (2, size)
+    peak = np.argmax(lines[1])
+    want = size // 2 + int(10000.0 / fs * size)
+    assert abs(peak - want) <= 2
+
+
+def test_fft_zoom():
+    line = jnp.asarray(np.arange(1024, dtype=np.float32))
+    z = np.asarray(fft_zoom(line, 256, 512, 128))
+    assert z.shape == (128,)
+    # max-decimation: each output = max of its 4-bin span
+    np.testing.assert_array_equal(z, 256 + np.arange(128) * 4 + 3)
+
+
+def test_frontend_decim_and_fft():
+    fs = 200000.0
+    fe = IQFrontEnd(fs, decim_ratio=4, fft_size=1024,
+                    fft_rate=50000.0 / 1024, block_size=40960)
+    n = 40960
+    t = np.arange(n) / fs
+    x = (np.exp(2j * np.pi * 5000.0 * t) + 0.3).astype(np.complex64)
+    st, (iq, fft) = jax.jit(fe)(fe.init_state(), jnp.asarray(x))
+    assert iq.shape == (n // 4,)
+    assert fft.shape[1] == 1024
+    # DC blocker: the 0.3 DC offset should be attenuated over the block.
+    assert abs(np.mean(np.asarray(iq)[-1000:])) < 0.1
+
+
+def test_frontend_invert_iq():
+    fe = IQFrontEnd(100000.0, dc_blocking=False, invert_iq=True,
+                    fft_size=256, fft_rate=100000.0 / 256, block_size=1024)
+    x = (np.ones(1024) * (1 + 2j)).astype(np.complex64)
+    st, (iq, fft) = fe(fe.init_state(), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(iq), np.conj(x))
+
+
+def test_detect_center_freq():
+    assert detect_center_freq("baseband_98500000Hz_12-34-56.wav") == 98500000.0
+    assert detect_center_freq("capture_14074000_iq.wav") == 14074000.0
+    assert detect_center_freq("noinfo.wav") is None
+
+
+def test_receiver_end_to_end():
+    fs = 1024000.0
+    rx = Receiver(fs, block_size=131072, fft_size=4096,
+                  fft_rate=fs / 32768, audio_rate=32000.0)
+    src = TestSource(fs, tones=[(100000.0, -20.0)], noise_dbfs=-90.0)
+    rx.sources.register("test", src)
+    rx.sources.select("test")
+    rx.create_vfo("vfo1", "am", offset=100000.0)
+    buf = BufferSink()
+    rx.sinks.set_provider("vfo1", buf)
+    rx.run(3)
+    audio = buf.data()
+    assert len(audio) == 3 * int(131072 * 32000.0 / fs)
+    assert np.all(np.isfinite(audio))
+    # FFT lines collected; peak at the tone offset
+    assert len(rx.fft_lines) > 0
+    line = rx.fft_lines[-1]
+    peak_bin = np.argmax(line)
+    want = 4096 // 2 + int(100000.0 / fs * 4096)
+    assert abs(peak_bin - want) <= 2
+    # -20 dBFS tone reads ~-20 dB with unity-gain window
+    assert abs(line[peak_bin] + 20.0) < 1.5
+
+
+def test_receiver_vfo_lifecycle():
+    fs = 512000.0
+    rx = Receiver(fs, block_size=65536, fft_size=1024, fft_rate=fs / 16384,
+                  audio_rate=32000.0)
+    src = TestSource(fs, tones=[(50000.0, -10.0)])
+    rx.sources.register("test", src)
+    rx.sources.select("test")
+    rx.create_vfo("a", "nfm", offset=50000.0)
+    rx.run(1)
+    rx.create_vfo("b", "usb", offset=-100000.0)
+    rx.run(1)
+    rx.delete_vfo("a")
+    rx.run(1)
+    assert "a" not in rx._channels and "b" in rx._channels

@@ -1,0 +1,113 @@
+"""Compression wire format + baseband network protocol tests."""
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sdrpp_tpu.ops.compression import (PCM_TYPE_F32, PCM_TYPE_I8, PCM_TYPE_I16,
+                                       dequantize_block, pack_frame,
+                                       quantize_block, unpack_frame)
+from sdrpp_tpu.io.wire import BasebandClient, BasebandServer
+
+
+def test_quantize_roundtrip_i16():
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024)).astype(np.complex64)
+    q, scaler = quantize_block(jnp.asarray(x), PCM_TYPE_I16)
+    assert q.dtype == jnp.int16 and q.shape == (2048,)
+    back = np.asarray(dequantize_block(q, scaler, PCM_TYPE_I16))
+    # Values above -scaler quantize within ~1 lsb; the reference-quirk
+    # signed-max scaler saturates negatives with |x| > scaler.
+    mask = x.real > -float(scaler)
+    np.testing.assert_allclose(back.real[mask], x.real[mask],
+                               atol=float(scaler) / 16000)
+    assert np.all(back.real[~mask] == -float(scaler))
+
+
+def test_wire_header_layout():
+    x = np.asarray([1 + 2j, 3 - 4j], np.complex64)
+    frame = pack_frame(x, PCM_TYPE_F32)
+    # {u16 compressionType=0, u16 pcmType, f32 scaler} + payload
+    assert frame[:2] == b"\x00\x00"
+    assert int.from_bytes(frame[2:4], "little") == PCM_TYPE_F32
+    assert len(frame) == 8 + 16
+    back = unpack_frame(frame)
+    np.testing.assert_array_equal(back, x)
+
+
+@pytest.mark.parametrize("pcm", [PCM_TYPE_I8, PCM_TYPE_I16, PCM_TYPE_F32])
+def test_pack_unpack_roundtrip(pcm):
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(512) + 1j * rng.standard_normal(512)).astype(np.complex64)
+    back = unpack_frame(pack_frame(x, pcm))
+    tol = {PCM_TYPE_I8: 0.1, PCM_TYPE_I16: 5e-4, PCM_TYPE_F32: 0}[pcm]
+    # Compare where no reference-quirk saturation occurred.
+    scaler = np.max(np.stack([x.real, x.imag], -1))
+    mask = np.minimum(x.real, x.imag) > -scaler
+    np.testing.assert_allclose(back[mask].real, x[mask].real, atol=tol + 1e-7)
+
+
+def test_server_client_session():
+    rng = np.random.default_rng(2)
+    srv = BasebandServer(samplerate=250000.0, pcm_type=PCM_TYPE_I16)
+    tuned = []
+    srv.on_tune = tuned.append
+    cli = BasebandClient("127.0.0.1", srv.port)
+    try:
+        cli.set_frequency(7.1e6)
+        kind, cmd, body = cli.read_packet()
+        assert kind == "ack"
+        cli.start()
+        deadline = time.time() + 5
+        while not srv.running and time.time() < deadline:
+            time.sleep(0.01)
+        assert srv.running
+        assert tuned and tuned[0] == 7.1e6
+
+        x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)) \
+            .astype(np.complex64) * 0.5
+        srv.send_baseband(x)
+        kind, iq = cli.read_packet()
+        assert kind == "baseband"
+        assert iq.shape == (4096,)
+        scaler = np.max(np.stack([x.real, x.imag], -1))
+        mask = np.minimum(x.real, x.imag) > -scaler
+        np.testing.assert_allclose(iq[mask].real, x[mask].real, atol=1e-3)
+
+        # compressed path
+        cli.set_compression(True)
+        deadline = time.time() + 5
+        while not srv.compression and time.time() < deadline:
+            time.sleep(0.01)
+        srv.send_baseband(x)
+        kind, iq2 = cli.read_packet()
+        assert kind == "baseband" and iq2.shape == (4096,)
+
+        cli.stop()
+        deadline = time.time() + 5
+        while srv.running and time.time() < deadline:
+            time.sleep(0.01)
+        assert not srv.running
+    finally:
+        cli.close()
+        srv.close()
+
+
+def test_server_rejects_second_client():
+    srv = BasebandServer(samplerate=48000.0)
+    c1 = BasebandClient("127.0.0.1", srv.port)
+    try:
+        c1.set_frequency(1e6)
+        assert c1.read_packet()[0] == "ack"
+        # Second client gets closed by the server.
+        c2 = BasebandClient("127.0.0.1", srv.port)
+        c2.set_frequency(2e6)
+        with pytest.raises((ConnectionError, OSError)):
+            for _ in range(10):
+                c2.read_packet()
+        c2.close()
+    finally:
+        c1.close()
+        srv.close()

@@ -1,0 +1,201 @@
+"""Command-line entry points: run / spectrum / serve / bench.
+
+The reference's entry points are the GUI app and ``sdrpp --server``
+(core/src/core.cpp:67-415, server.cpp:49-161). Headless equivalents:
+
+- ``run``      file/test IQ -> demod chain -> audio WAV (+ checkpoint/resume)
+- ``spectrum`` IQ -> waterfall dB lines -> .npy
+- ``serve``    stream quantized baseband over TCP (the server protocol)
+- ``bench``    the headline throughput benchmark
+
+Usage: python -m sdrpp_tpu <command> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .utils import log
+
+
+def _add_source_args(p):
+    p.add_argument("--source", required=True,
+                   help="IQ WAV path, or 'test:<samplerate>' for the test source")
+    p.add_argument("--tone", type=float, default=100000.0,
+                   help="test source tone offset Hz")
+
+
+def _make_source(args):
+    from .io.sources import FileSource, TestSource
+
+    if args.source.startswith("test:"):
+        fs = float(args.source.split(":", 1)[1])
+        return TestSource(fs, tones=[(args.tone, -20.0)], noise_dbfs=-90.0)
+    return FileSource(args.source, loop=False)
+
+
+def cmd_run(argv):
+    p = argparse.ArgumentParser(prog="sdrpp_tpu run")
+    _add_source_args(p)
+    p.add_argument("--mode", default="wfm",
+                   choices=["wfm", "nfm", "am", "usb", "lsb", "dsb", "cw"])
+    p.add_argument("--offset", type=float, default=0.0, help="VFO offset Hz")
+    p.add_argument("--bandwidth", type=float, default=None)
+    p.add_argument("--audio-rate", type=float, default=48000.0)
+    p.add_argument("--out", default="audio.wav")
+    p.add_argument("--blocks", type=int, default=0, help="0 = until EOF")
+    p.add_argument("--block-size", type=int, default=262144)
+    p.add_argument("--squelch", type=float, default=None)
+    p.add_argument("--deemphasis", default=None, choices=[None, "22us", "50us", "75us"])
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+    import jax
+
+    from .io.sinks import WavSink
+    from .models.radio import RadioChannel
+    from .utils.checkpoint import load_state, save_state
+
+    src = _make_source(args)
+    fs = src.samplerate
+    chan = RadioChannel(args.mode, fs, offset=args.offset,
+                        bandwidth=args.bandwidth, audio_rate=args.audio_rate,
+                        squelch_level=args.squelch, deemphasis=args.deemphasis)
+    bm = chan.block_multiple
+    block = max(bm, (args.block_size // bm) * bm)
+    log.info(f"mode={args.mode} fs={fs:g} block={block} -> audio {args.audio_rate:g}")
+
+    state = chan.init_state()
+    offset = 0
+    if args.resume and args.checkpoint:
+        try:
+            state, offset = load_state(args.checkpoint, state)
+        except ValueError as e:
+            log.error(f"cannot resume: checkpoint was written by a different "
+                      f"chain configuration ({e})")
+            return 2
+        if hasattr(src, "seek"):
+            src.seek(offset)
+        log.info(f"resumed from {args.checkpoint} at sample {offset}")
+
+    step = jax.jit(chan)
+    sink = WavSink(args.out, int(args.audio_rate))
+    total = 0
+    nblocks = 0
+    src_len = len(getattr(src, "iq", [])) or None
+    while args.blocks == 0 or nblocks < args.blocks:
+        if src_len is not None and offset + block > src_len:
+            break
+        iq = src.read(block)
+        state, audio = step(state, jnp.asarray(iq))
+        out = audio[0] if isinstance(audio, tuple) else audio
+        sink.write(np.asarray(out))
+        offset += block
+        total += block
+        nblocks += 1
+        if args.blocks == 0 and src_len is None and nblocks >= 100:
+            break
+    sink.close()
+    if args.checkpoint:
+        save_state(args.checkpoint, state, stream_offset=offset)
+        log.info(f"checkpoint -> {args.checkpoint}")
+    log.info(f"processed {total} samples -> {args.out}")
+
+
+def cmd_spectrum(argv):
+    p = argparse.ArgumentParser(prog="sdrpp_tpu spectrum")
+    _add_source_args(p)
+    p.add_argument("--fft-size", type=int, default=65536)
+    p.add_argument("--fft-rate", type=float, default=20.0)
+    p.add_argument("--window", default="nuttall",
+                   choices=["rectangular", "hamming", "hann", "blackman",
+                            "nuttall", "blackman_harris4", "blackman_harris7"])
+    p.add_argument("--blocks", type=int, default=4)
+    p.add_argument("--block-size", type=int, default=262144)
+    p.add_argument("--out", default="waterfall.npy")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.windows import Window
+    from .signal_path import IQFrontEnd
+
+    src = _make_source(args)
+    fe = IQFrontEnd(src.samplerate, fft_size=args.fft_size, fft_rate=args.fft_rate,
+                    fft_window=Window(args.window), block_size=args.block_size)
+    step = jax.jit(fe)
+    st = fe.init_state()
+    lines = []
+    for _ in range(args.blocks):
+        st, (_iq, fft) = step(st, jnp.asarray(src.read(args.block_size)))
+        lines.append(np.asarray(fft))
+    wf = np.concatenate(lines, axis=0)
+    np.save(args.out, wf)
+    log.info(f"waterfall {wf.shape} dB -> {args.out}")
+
+
+def cmd_serve(argv):
+    p = argparse.ArgumentParser(prog="sdrpp_tpu serve")
+    _add_source_args(p)
+    p.add_argument("--addr", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=5259)
+    p.add_argument("--block-size", type=int, default=65536)
+    p.add_argument("--blocks", type=int, default=0, help="0 = run forever")
+    args = p.parse_args(argv)
+
+    import time
+
+    from .io.wire import BasebandServer
+    from .ops.compression import PCM_TYPE_I16
+
+    src = _make_source(args)
+    srv = BasebandServer(args.addr, args.port, samplerate=src.samplerate,
+                         pcm_type=PCM_TYPE_I16)
+    srv.on_tune = lambda f: src.tune(f)
+    log.info(f"baseband server on {args.addr}:{srv.port} fs={src.samplerate:g}")
+    sent = 0
+    try:
+        while args.blocks == 0 or sent < args.blocks:
+            if srv.running:
+                srv.send_baseband(src.read(args.block_size))
+                sent += 1
+            else:
+                time.sleep(0.05)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+
+
+def cmd_bench(argv):
+    import bench
+
+    sys.argv = ["bench.py"] + list(argv)
+    bench.main()
+
+
+COMMANDS = {
+    "run": cmd_run,
+    "spectrum": cmd_spectrum,
+    "serve": cmd_serve,
+    "bench": cmd_bench,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help") or argv[0] not in COMMANDS:
+        print(__doc__)
+        print("commands:", ", ".join(COMMANDS))
+        return 0 if argv and argv[0] in ("-h", "--help") else 1
+    return COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

@@ -1,0 +1,152 @@
+"""Misc modules: scanner, frequency manager, rigctl, meters, FMIF."""
+
+import socket
+import time
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sdrpp_tpu.misc.frequency_manager import FrequencyManager
+from sdrpp_tpu.misc.meters import peak_level, vfo_signal_info
+from sdrpp_tpu.misc.rigctl import RigctlServer
+from sdrpp_tpu.misc.scanner import Scanner
+from sdrpp_tpu.ops.fm_if import FMIFNoiseReduction
+from sdrpp_tpu.utils.config import ConfigManager
+
+
+def make_line(size, whole_bw, signals, noise_db=-80.0):
+    """Synthetic centered dB FFT line with tone bumps."""
+    line = np.full(size, noise_db, np.float32)
+    for freq, level in signals:
+        k = int(freq / (whole_bw / 2) * (size / 2) + size / 2)
+        line[max(k - 2, 0): k + 3] = level
+    return line
+
+
+def test_vfo_signal_info():
+    line = make_line(4096, 1000000.0, [(100000.0, -20.0)])
+    strength, snr = vfo_signal_info(line, 100000.0, 12500.0, 1000000.0)
+    assert abs(strength + 20.0) < 1.0
+    assert 55.0 < snr < 65.0
+    # Empty channel
+    s2, snr2 = vfo_signal_info(line, -200000.0, 12500.0, 1000000.0)
+    assert snr2 < 5.0
+
+
+def test_peak_level():
+    assert abs(peak_level(np.array([0.5, -1.0, 0.2])) - 0.0) < 1e-6
+    assert peak_level(np.array([0.1])) < -19.9
+
+
+def test_scanner_finds_and_lingers():
+    wf_bw = 1000000.0
+    sc = Scanner(-400000.0, 400000.0, interval=100000.0, level_db=-40.0,
+                 tuning_time=0.0, linger_time=0.5)
+    sc.current = -400000.0
+    line = make_line(4096, wf_bw, [(200000.0, -20.0)])
+    # Step until the scanner parks on the signal.
+    now = 0.0
+    for _ in range(20):
+        f = sc.step(line, 12500.0, 0.0, wf_bw, now)
+        now += 0.1
+        if sc.receiving:
+            break
+    assert sc.receiving and abs(sc.current - 200000.0) < 1.0
+    # Signal disappears -> linger, then resume scanning.
+    quiet = make_line(4096, wf_bw, [])
+    for _ in range(10):
+        sc.step(quiet, 12500.0, 0.0, wf_bw, now)
+        now += 0.1
+    assert not sc.receiving
+
+
+def test_frequency_manager(tmp_path):
+    cfg = ConfigManager(tmp_path / "freqs.json")
+    fm = FrequencyManager(cfg)
+    fm.add("NOAA 15", 137620000.0, 40000.0, "nfm")
+    fm.add("WWV", 10000000.0, 10000.0, "am")
+    assert set(fm.bookmarks()) == {"NOAA 15", "WWV"}
+    bm = fm.get("WWV")
+    assert bm.frequency == 10000000.0 and bm.mode == "am"
+    # persists across reload
+    fm2 = FrequencyManager(ConfigManager(tmp_path / "freqs.json"))
+    assert fm2.get("NOAA 15").bandwidth == 40000.0
+    fm2.remove("WWV")
+    assert "WWV" not in fm2.bookmarks()
+
+
+class _Controller:
+    def __init__(self):
+        self.freq = 96000000.0
+        self.mode = "wfm"
+        self.pb = 200000.0
+        self.running = False
+
+    def get_freq(self):
+        return self.freq
+
+    def set_freq(self, f):
+        self.freq = f
+
+    def get_mode(self):
+        return self.mode, self.pb
+
+    def set_mode(self, m, pb):
+        self.mode = m
+        self.pb = pb if pb > 0 else self.pb
+
+    def start(self):
+        self.running = True
+
+    def stop(self):
+        self.running = False
+
+
+def _send(sock, line):
+    sock.sendall(line.encode() + b"\n")
+    time.sleep(0.05)
+    return sock.recv(4096).decode()
+
+
+def test_rigctl_server():
+    ctl = _Controller()
+    srv = RigctlServer(ctl)
+    s = socket.create_connection(("127.0.0.1", srv.port))
+    try:
+        assert _send(s, "F 145500000") == "RPRT 0\n"
+        assert ctl.freq == 145500000.0
+        assert _send(s, "f") == "145500000\n"
+        assert _send(s, "M FM 12500") == "RPRT 0\n"
+        assert ctl.mode == "nfm" and ctl.pb == 12500.0
+        assert _send(s, "m") == "FM\n12500\n"
+        assert _send(s, "\\chk_vfo") == "0\n"
+        assert _send(s, "v") == "VFOA\n"
+        assert _send(s, "\\start") == "RPRT 0\n"
+        assert ctl.running
+        assert _send(s, "XYZZY") == "RPRT -11\n"
+        assert _send(s, "F notanumber") == "RPRT -1\n"
+    finally:
+        s.close()
+        srv.close()
+
+
+def test_fmif_passes_dominant_tone():
+    fs = 48000.0
+    n = 2048
+    t = np.arange(n) / fs
+    tone = np.exp(2j * np.pi * 6000.0 * t)
+    rng = np.random.default_rng(0)
+    noise = 0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    x = (tone + noise).astype(np.complex64)
+    nr = FMIFNoiseReduction(bins=32)
+    st, y = nr(nr.init_state(), jnp.asarray(x))
+    y = np.asarray(y)[64:]
+    # Output should be dominated by the 6 kHz tone with reduced noise floor.
+    spec = np.abs(np.fft.fft(y))
+    freqs = np.fft.fftfreq(len(y), 1 / fs)
+    k = np.argmax(spec)
+    assert abs(freqs[k] - 6000.0) < 100.0
+    inband = spec[np.abs(freqs - 6000.0) < 400].sum()
+    out = spec.sum() - inband
+    assert inband > 3 * out

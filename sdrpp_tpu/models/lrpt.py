@@ -1,0 +1,66 @@
+"""LRPT downlink decode chain (BASELINE config #5).
+
+Composition: MeteorDemod QPSK symbols (models/digital.py) -> soft bits ->
+Viterbi (rate 1/2, CCSDS K=7 polynomials) -> Reed-Solomon (255,223) CCSDS.
+The reference's meteor module stops at soft-symbol files
+(decoder_modules/meteor_demodulator/src/main.cpp:268-276, s8 quantized
+x84); the Viterbi+RS stages live in offline LRPT decoders built on the
+same libcorrect codes this framework reimplements (ops/fec.py, bit-exact).
+
+This module provides the glue: symbol->soft-bit mapping with the
+reference's s8 x84 scaling convention, and an LRPTDecoder that runs
+deframed CVCDU payloads through Viterbi + RS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.fec import RS_CCSDS, ConvCode, ReedSolomon
+
+__all__ = ["CCSDS_CONV_POLYS", "symbols_to_soft_bits", "soft_s8_to_u8",
+           "LRPTDecoder"]
+
+# CCSDS rate-1/2 K=7 polynomials (0o171, 0o133) used by LRPT.
+CCSDS_CONV_POLYS = (0o171, 0o133)
+
+
+def symbols_to_soft_bits(symbols: np.ndarray, scale: float = 84.0) -> np.ndarray:
+    """QPSK symbols -> interleaved s8 soft bits (I then Q per symbol),
+    the meteor module's file format (main.cpp:268-276: clamp(v*84, -128..127)).
+    """
+    re = np.clip(np.real(symbols) * scale, -128, 127)
+    im = np.clip(np.imag(symbols) * scale, -128, 127)
+    out = np.empty(2 * len(symbols), np.int8)
+    out[0::2] = re.astype(np.int8)
+    out[1::2] = im.astype(np.int8)
+    return out
+
+
+def soft_s8_to_u8(soft: np.ndarray) -> np.ndarray:
+    """s8 soft symbols (-128 strong 0 ... +127 strong 1) -> the Viterbi
+    decoder's u8 convention (0 strong 0 ... 255 strong 1)."""
+    return (np.asarray(soft, np.int16) + 128).astype(np.uint8)
+
+
+class LRPTDecoder:
+    """Viterbi + RS tail of the LRPT chain.
+
+    decode_soft(soft_u8) Viterbi-decodes one coded block;
+    decode_cvcdu(bytes) RS-decodes 255-byte codewords (vmapped batch).
+    """
+
+    def __init__(self):
+        self.conv = ConvCode(2, 7, CCSDS_CONV_POLYS)
+        self.rs = ReedSolomon(RS_CCSDS, 112, 11, 32)
+        self._rs_batch = jax.jit(jax.vmap(self.rs.decode))
+
+    def viterbi(self, soft_u8: np.ndarray) -> np.ndarray:
+        return self.conv.decode_soft_bytes(soft_u8)
+
+    def rs_decode_blocks(self, blocks: np.ndarray):
+        """[N, 255] uint8 -> ([N, 223] corrected, [N] ok flags)."""
+        out, ok = self._rs_batch(jnp.asarray(blocks))
+        return np.asarray(out), np.asarray(ok)

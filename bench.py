@@ -124,11 +124,13 @@ def main():
         except Exception:
             time.sleep(2.0)
     if state is None:
-        try:
-            state = make_state(np.float32(0))
-        except Exception as e:
-            _fail(f"state init failed: {type(e).__name__}")
-            return
+        # Fallback: every carried state in this chain is zeros by
+        # construction (FIR tails, NCO phases, quadrature carry), so
+        # materialize them host-side and transfer (the reliable path).
+        shapes = jax.eval_shape(lambda: (vfo.init_state(), demod.init_state(),
+                                         audio_fir.init_state()))
+        state = jax.tree_util.tree_map(
+            lambda sd: jnp.asarray(np.zeros(sd.shape, sd.dtype)), shapes)
 
     def run(iters):
         t0 = time.perf_counter()

@@ -67,22 +67,40 @@ def main():
     from sdrpp_tpu.ops import taps as taps_mod
     from sdrpp_tpu.utils.speed_tester import calibrate_sync
 
+    def _cpu_fallback(reason):
+        # The TPU tunnel is not executing work; rerun the whole benchmark
+        # on CPU in a fresh process so the driver still gets a real
+        # (if low) measured number, with the reason recorded in the unit.
+        import subprocess
+        if use_cpu:
+            _fail(reason)
+            return
+        out = subprocess.run([sys.executable, __file__, "--cpu"],
+                             capture_output=True, text=True, timeout=900)
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        try:
+            d = json.loads(line)
+            d["unit"] += f" [CPU FALLBACK: {reason}]"
+            print(json.dumps(d))
+        except Exception:
+            _fail(f"{reason}; cpu fallback also failed")
+
     cal = None
     for attempt in range(2):
         try:
             with _deadline(180):
                 cal = calibrate_sync(size=1024 if use_cpu else 2048, iters=8)
         except TimeoutError:
-            _fail("timing calibration timed out; backend not executing")
+            _cpu_fallback("tpu calibration timed out")
             return
-        except Exception as e:  # backend flake
+        except Exception:  # backend flake
             time.sleep(10.0)
             continue
         if cal["plausible"]:
             break
         time.sleep(10.0)
     if cal is None:
-        _fail("calibration failed (backend errors)")
+        _cpu_fallback("tpu backend errors during calibration")
         return
     if not cal["plausible"]:
         _fail(f"timing harness failed calibration "
@@ -147,10 +165,10 @@ def main():
             iters = 16
             tn = run(iters)
     except TimeoutError:
-        _fail("benchmark sync timed out")
+        _cpu_fallback("tpu benchmark sync timed out")
         return
     except Exception as e:
-        _fail(f"benchmark failed: {type(e).__name__}")
+        _cpu_fallback(f"tpu benchmark failed: {type(e).__name__}")
         return
     per_iter = max((tn - t1) / (iters - 1), 1e-9)
 

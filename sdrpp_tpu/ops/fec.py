@@ -125,12 +125,19 @@ class ConvCode:
         total = soft_bits.shape[0] // R
         soft = soft_bits.astype(jnp.float32).reshape(total, R)
         expected = jnp.asarray(self.reg_outputs.astype(np.float32) * 255.0)
-        p0, p1, r0, r1 = (jnp.asarray(a) for a in self._trellis)
 
+        # Gather-free butterfly: with n = next state, its predecessors are
+        # p0 = n>>1 and p1 = (n>>1)+S/2 and the corresponding registers are
+        # r0 = n and r1 = n + S. So metrics[p0] is each element of the
+        # first half repeated twice, metrics[p1] likewise for the second
+        # half, and bm[r0]/bm[r1] are plain halves of the [2S] branch
+        # metric vector — pure slices/repeats, no gathers on the hot path.
         def step(metrics, soft_t):
-            bm = jnp.sum(jnp.abs(soft_t[None, :] - expected), axis=1)  # [2^K]
-            cand0 = metrics[p0] + bm[r0]
-            cand1 = metrics[p1] + bm[r1]
+            bm = jnp.sum(jnp.abs(soft_t[None, :] - expected), axis=1)  # [2S]
+            m0 = jnp.repeat(metrics[: S // 2], 2)
+            m1 = jnp.repeat(metrics[S // 2:], 2)
+            cand0 = m0 + bm[:S]
+            cand1 = m1 + bm[S:]
             take1 = cand1 < cand0
             new_metrics = jnp.where(take1, cand1, cand0)
             new_metrics = new_metrics - jnp.min(new_metrics)

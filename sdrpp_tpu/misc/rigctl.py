@@ -12,7 +12,7 @@ from __future__ import annotations
 import socket
 import threading
 
-__all__ = ["RigctlServer"]
+__all__ = ["RigctlServer", "RigctlClient"]
 
 _MODE_MAP = {
     "FM": "nfm", "WFM": "wfm", "AM": "am", "USB": "usb", "LSB": "lsb",
@@ -131,3 +131,43 @@ class RigctlServer:
             self._listener.close()
         except OSError:
             pass
+
+
+class RigctlClient:
+    """rigctl TCP client: drive an external rig / make this SDR a panadapter
+    (reference: misc_modules/rigctl_client — tracks an external radio's
+    frequency so the SDR display follows it)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 4532,
+                 timeout: float = 5.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._buf = b""
+
+    def _cmd(self, line: str, reply_lines: int = 1) -> list[str]:
+        self._sock.sendall(line.encode() + b"\n")
+        out = []
+        while len(out) < reply_lines:
+            while b"\n" not in self._buf:
+                data = self._sock.recv(1024)
+                if not data:
+                    raise ConnectionError("rigctl server closed")
+                self._buf += data
+            ln, self._buf = self._buf.split(b"\n", 1)
+            out.append(ln.decode())
+        return out
+
+    def set_freq(self, freq: float) -> bool:
+        return self._cmd(f"F {int(freq)}")[0] == "RPRT 0"
+
+    def get_freq(self) -> float:
+        return float(self._cmd("f")[0])
+
+    def set_mode(self, mode: str, passband: float = -1) -> bool:
+        return self._cmd(f"M {mode} {int(passband)}")[0] == "RPRT 0"
+
+    def get_mode(self) -> tuple[str, float]:
+        mode, pb = self._cmd("m", reply_lines=2)
+        return mode, float(pb)
+
+    def close(self):
+        self._sock.close()

@@ -24,7 +24,7 @@ from ..utils.blocks import Block
 from .resample import build_polyphase_bank
 from .taps import windowed_sinc
 
-__all__ = ["MMClockRecovery"]
+__all__ = ["MMClockRecovery", "FDClockRecovery"]
 
 
 def _interp_bank(phase_count: int, tap_count: int) -> np.ndarray:
@@ -156,4 +156,80 @@ class MMClockRecovery(Block):
             # is stored as p1 for the next block's propagation.
         else:
             new_state["last"] = err_f
+        return new_state, (symbols, valid)
+
+
+class FDClockRecovery(Block):
+    """Frequency-discriminator (early-late derivative) symbol synchronizer.
+
+    Reference: core/src/dsp/clock_recovery/fd.h:95-150 — float-only variant
+    whose timing error is dfdt * sign(out), with dfdt estimated from the
+    neighboring interpolation phases (central difference; one-sided at the
+    bank edges). Same scan structure as MMClockRecovery.
+    """
+
+    def __init__(self, omega: float, omega_gain: float, mu_gain: float,
+                 omega_rel_limit: float = 0.01, interp_phase_count: int = 128,
+                 interp_tap_count: int = 8):
+        self.omega = float(omega)
+        self.mu_gain = np.float32(mu_gain)
+        self.omega_gain = np.float32(omega_gain)
+        self.min_freq = np.float32(omega * (1.0 - omega_rel_limit))
+        self.max_freq = np.float32(omega * (1.0 + omega_rel_limit))
+        self.phase_count = int(interp_phase_count)
+        self.tap_count = int(interp_tap_count)
+        self.bank = _interp_bank(self.phase_count, self.tap_count)
+
+    def max_symbols(self, n: int) -> int:
+        return int(np.ceil(n / float(self.min_freq))) + 1
+
+    def init_state(self):
+        return {
+            "tail": jnp.zeros(self.tap_count - 1, jnp.float32),
+            "offset": jnp.zeros((), jnp.int32),
+            "phase": jnp.zeros((), jnp.float32),
+            "freq": jnp.full((), self.omega, jnp.float32),
+        }
+
+    def __call__(self, state, x):
+        n = x.shape[-1]
+        assert x.ndim == 1
+        max_syms = self.max_symbols(n)
+        buf = jnp.concatenate([state["tail"], x])
+        bank = jnp.asarray(self.bank)
+        pc = self.phase_count
+
+        def step(carry, _):
+            offset, phase, freq, done = carry
+            active = (offset < n) & jnp.logical_not(done)
+            ph_idx = jnp.clip(jnp.floor(phase * pc).astype(jnp.int32), 0, pc - 1)
+            window = jax.lax.dynamic_slice(buf, (jnp.clip(offset, 0, n - 1),),
+                                           (self.tap_count,))
+            out_val = jnp.sum(window * bank[ph_idx])
+            lo = jnp.sum(window * bank[jnp.maximum(ph_idx - 1, 0)])
+            hi = jnp.sum(window * bank[jnp.minimum(ph_idx + 1, pc - 1)])
+            dfdt = jnp.where(ph_idx == 0, hi - out_val,
+                             jnp.where(ph_idx == pc - 1, out_val - lo,
+                                       (hi - lo) * 0.5))
+            error = jnp.clip(dfdt * jnp.where(out_val > 0, 1.0, -1.0), -1.0, 1.0)
+            new_freq = jnp.clip(freq + self.omega_gain * error,
+                                self.min_freq, self.max_freq)
+            new_phase = phase + new_freq + self.mu_gain * error
+            delta = jnp.floor(new_phase)
+            new_offset = offset + delta.astype(jnp.int32)
+            new_phase = new_phase - delta
+            sel = lambda a, b: jnp.where(active, a, b)
+            offset = sel(new_offset, offset)
+            phase = sel(new_phase, phase)
+            freq = sel(new_freq, freq)
+            out = sel(out_val, 0.0)
+            done = offset >= n
+            return (offset, phase, freq, done), (out, active)
+
+        carry0 = (state["offset"], state["phase"], state["freq"],
+                  state["offset"] >= n)
+        (offset_f, phase_f, freq_f, _), (symbols, valid) = jax.lax.scan(
+            step, carry0, None, length=max_syms)
+        new_state = {"tail": buf[n:], "offset": offset_f - n,
+                     "phase": phase_f, "freq": freq_f}
         return new_state, (symbols, valid)

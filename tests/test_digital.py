@@ -163,3 +163,59 @@ def test_meteor_demod_qpsk():
     folded = np.mod(ph, np.pi / 2)
     hist, _ = np.histogram(folded, bins=9, range=(0, np.pi / 2))
     assert hist.max() > 0.5 * hist.sum(), hist
+
+
+def test_fd_clock_recovery():
+    from sdrpp_tpu.ops.clock_recovery import FDClockRecovery
+    rng = np.random.default_rng(5)
+    sps, nsym = 10, 400
+    bits = rng.integers(0, 2, nsym) * 2.0 - 1.0
+    x = np.repeat(bits, sps).astype(np.float32)
+    fd = FDClockRecovery(omega=sps, omega_gain=0.001, mu_gain=0.01,
+                         omega_rel_limit=0.05)
+    st, (syms, valid) = jax.jit(fd)(fd.init_state(), jnp.asarray(x))
+    nv = int(np.asarray(valid).sum())
+    s = np.asarray(syms)[2:nv] > 0
+    best = 0
+    for off in range(4):
+        m = min(len(s), nsym - off)
+        best = max(best, np.mean(s[:m] == (bits[off:off + m] > 0)))
+    assert best > 0.95
+
+
+def test_deframer_finds_frames_across_blocks():
+    from sdrpp_tpu.ops.deframing import Deframer
+    rng = np.random.default_rng(6)
+    sync = np.array([1, 0, 1, 0, 0, 0, 1, 1, 0, 1, 1, 1], np.uint8)
+    frame_len = 100
+    # Build a stream: noise + 3 frames (sync + payload)
+    def frame(payload_seed):
+        r = np.random.default_rng(payload_seed)
+        return np.concatenate([sync, r.integers(0, 2, frame_len - len(sync))
+                               .astype(np.uint8)])
+    stream = np.concatenate([
+        rng.integers(0, 2, 37).astype(np.uint8), frame(1), frame(2),
+        rng.integers(0, 2, 23).astype(np.uint8), frame(3),
+    ])
+    df = Deframer(frame_len, sync)
+    # Feed in odd-sized chunks to exercise the carry.
+    frames = []
+    for i in range(0, len(stream), 61):
+        frames += df.process(stream[i:i + 61])
+    assert len(frames) >= 2  # frame 2 follows frame 1 immediately
+    np.testing.assert_array_equal(frames[0], frame(1))
+    np.testing.assert_array_equal(frames[1], frame(2))
+
+
+def test_deframer_tolerates_sync_errors():
+    from sdrpp_tpu.ops.deframing import Deframer
+    sync = np.array([1, 0, 1, 1, 0, 0, 1, 0, 1, 1], np.uint8)
+    payload = np.ones(30, np.uint8)
+    fr = np.concatenate([sync, payload])
+    corrupted = fr.copy()
+    corrupted[2] ^= 1  # one sync bit error
+    df0 = Deframer(len(fr), sync, max_sync_errors=0)
+    assert df0.process(np.concatenate([np.zeros(11, np.uint8), corrupted])) == []
+    df1 = Deframer(len(fr), sync, max_sync_errors=1)
+    out = df1.process(np.concatenate([np.zeros(11, np.uint8), corrupted]))
+    assert len(out) == 1

@@ -150,3 +150,33 @@ def test_fmif_passes_dominant_tone():
     inband = spec[np.abs(freqs - 6000.0) < 400].sum()
     out = spec.sum() - inband
     assert inband > 3 * out
+
+
+def test_rigctl_client_against_server():
+    from sdrpp_tpu.misc.rigctl import RigctlClient
+    ctl = _Controller()
+    srv = RigctlServer(ctl)
+    cli = RigctlClient("127.0.0.1", srv.port)
+    try:
+        assert cli.set_freq(7074000)
+        assert cli.get_freq() == 7074000.0
+        assert cli.set_mode("USB", 2700)
+        assert cli.get_mode() == ("USB", 2700.0)
+    finally:
+        cli.close()
+        srv.close()
+
+
+def test_scheduler_fires_in_order():
+    from sdrpp_tpu.misc.scheduler import Scheduler, Task
+    events = []
+    s = Scheduler()
+    s.add(Task("rec", 10.0, 20.0, on_start=lambda: events.append("rec+"),
+               on_end=lambda: events.append("rec-")))
+    s.add(Task("tune", 5.0, None, on_start=lambda: events.append("tune")))
+    assert s.tick(1.0) == []
+    assert s.tick(6.0) == ["start:tune"]
+    assert s.tick(11.0) == ["start:rec"]
+    assert s.tick(25.0) == ["end:rec"]
+    assert events == ["tune", "rec+", "rec-"]
+    assert len(s.tasks()) == 1  # the never-ending 'tune' task remains

@@ -33,6 +33,7 @@ __all__ = [
     "PowerDecimator",
     "PolyphaseResampler",
     "RationalResampler",
+    "RRCInterpolator",
 ]
 
 _DECIM_NPZ = Path(__file__).parent / "decim_taps.npz"
@@ -224,3 +225,40 @@ class RationalResampler(Block):
         else:
             resamp_state = ()
         return {"pre": pre_state, "resamp": resamp_state}, x
+
+
+class RRCInterpolator(Block):
+    """RRC-filtered symbol interpolator (TX pulse shaping; used by M17).
+
+    Reference: core/src/dsp/multirate/rrc_interpolator.h:15-90 — a
+    polyphase resampler whose bank is the root-raised-cosine response
+    sampled at interp x the symbol rate (gcd-derived interp/decim).
+    Input: symbol-rate stream; output: sample-rate RRC-shaped waveform.
+    Block length must be a multiple of ``decim``.
+    """
+
+    def __init__(self, symbolrate: float, samplerate: float, rrc_beta: float,
+                 rrc_tap_count: int, dtype=jnp.complex64, lead_shape=()):
+        from .taps import root_raised_cosine_rate
+
+        in_sr = int(round(symbolrate))
+        out_sr = int(round(samplerate))
+        g = np.gcd(in_sr, out_sr)
+        interp = out_sr // g
+        decim = in_sr // g
+        tap_samplerate = symbolrate * interp
+        taps = root_raised_cosine_rate(rrc_tap_count * interp, rrc_beta,
+                                       symbolrate, tap_samplerate)
+        self.interp, self.decim = interp, decim
+        self.resamp = PolyphaseResampler(interp, decim, taps, dtype=dtype,
+                                         lead_shape=lead_shape)
+        self.block_multiple = decim
+
+    def out_count(self, n: int) -> int:
+        return self.resamp.out_count(n)
+
+    def init_state(self):
+        return self.resamp.init_state()
+
+    def __call__(self, state, x):
+        return self.resamp(state, x)

@@ -170,3 +170,18 @@ def test_rational_resampler_end_to_end_tone():
     k = np.argmax(spec)
     freq = k / len(seg) * fs_out
     assert abs(freq - f0) < fs_out / len(seg) * 2
+
+
+def test_rrc_interpolator_pulse_shaping():
+    from sdrpp_tpu.ops.resample import RRCInterpolator
+    rng = np.random.default_rng(9)
+    rrc = RRCInterpolator(4800.0, 48000.0, 0.5, 9, dtype=jnp.float32)
+    syms = (rng.integers(0, 2, 500) * 2.0 - 1.0).astype(np.float32)
+    st, y = rrc(rrc.init_state(), jnp.asarray(syms))
+    y = np.asarray(y)
+    assert y.shape[0] == 500 * 10
+    S = np.abs(np.fft.rfft(y * np.hanning(len(y)))) ** 2
+    f = np.fft.rfftfreq(len(y), 1 / 48000)
+    inb = S[f < 3800].sum()
+    outb = S[f > 5000].sum()
+    assert 10 * np.log10(inb / outb) > 30

@@ -162,3 +162,62 @@ def phase_reference_sync(received_sym: jax.Array, prs: np.ndarray):
     cfo = jnp.argmax(spec_corr, axis=-1)
     cfo = jnp.where(cfo > n // 2, cfo - n, cfo)
     return k, mags[..., k] if mags.ndim == 1 else jnp.max(mags, -1), cfo
+
+
+# ---------------------------------------------------------------------------
+# DAB frame/frequency synchronization (dab_dsp.h:142-266)
+# ---------------------------------------------------------------------------
+
+def load_dab_prs_conj() -> np.ndarray:
+    """The conjugated DAB phase-reference symbol (2048 points; pure data
+    extracted from decoder_modules/dab_decoder/src/dab_phase_sym.h)."""
+    from pathlib import Path as _P
+    return np.load(_P(__file__).parent / "dab_phase_sym.npz")["prs_conj"]
+
+
+def dab_null_detect(level, avg_level, agc_rate: float = 0.01):
+    """Null-symbol detection (dab_dsp.h:197-209): a symbol block whose
+    total amplitude drops below half the running average marks the frame
+    start. Returns (is_null, new_avg)."""
+    is_null = level < avg_level * 0.5
+    new_avg = agc_rate * level + (1.0 - agc_rate) * avg_level
+    return is_null, new_avg
+
+
+def dab_prs_cfo(symbol: jax.Array, prs_conj=None):
+    """Coarse+fine CFO from the phase-reference symbol
+    (dab_dsp.h:230-256): FFT of symbol * conj(PRS); the peak bin gives the
+    integer offset, the neighbor-bin amplitude ratio the fractional part.
+    Returns offset estimate in rad/sample (the reference's control loop
+    applies offset -= 0.1*estimate).
+    """
+    if prs_conj is None:
+        prs_conj = load_dab_prs_conj()
+    n = symbol.shape[-1]
+    prod = symbol * jnp.asarray(prs_conj)
+    spec = jnp.fft.fft(prod, axis=-1)
+    amps = jnp.abs(spec)
+    peak = jnp.argmax(amps, axis=-1)
+    peak_l = amps[..., (peak + n - 1) % n]
+    peak_r = amps[..., (peak + 1) % n]
+    off_int = jnp.where(peak < n // 2, peak.astype(jnp.float32),
+                        peak.astype(jnp.float32) - n)
+    frac = (peak_r - peak_l) / (peak_r + peak_l)
+    return np.float32(np.pi) * (off_int + frac) / (n / 2)
+
+
+def dab_prs_constellation(symbol: jax.Array) -> jax.Array:
+    """Adjacent-bin differential demod of the PRS for the constellation
+    display (dab_dsp.h:218-228): pi/4-rotated X[i]*conj(X[i-1]) normalized
+    by |X[i-1]|^2, over centered bins excluding DC."""
+    n = symbol.shape[-1]
+    spec = jnp.fft.fft(symbol, axis=-1)
+    amps = jnp.abs(spec)
+    pi4 = np.complex64(np.exp(1j * np.pi / 4))
+    idx = np.concatenate([np.arange(-767, 0), np.arange(1, 768)])
+    cid1 = np.where(idx >= 0, idx, 2048 + idx)
+    cid0 = np.where(idx - 1 >= 0, idx - 1, 2048 + (idx - 1))
+    x1 = spec[..., jnp.asarray(cid1)]
+    x0 = spec[..., jnp.asarray(cid0)]
+    a0 = amps[..., jnp.asarray(cid0)]
+    return pi4 * x1 * jnp.conj(x0) / (a0 * a0)

@@ -84,3 +84,26 @@ def test_phase_reference_sync_finds_offset_and_cfo():
     rx2 = rx * np.exp(2j * np.pi * 3 * np.arange(n) / n)
     k2, mag2, cfo2 = phase_reference_sync(jnp.asarray(rx2.astype(np.complex64)), prs)
     assert abs(int(cfo2) - 3) <= 1
+
+
+def test_dab_prs_cfo_and_constellation():
+    from sdrpp_tpu.ops.ofdm import (dab_null_detect, dab_prs_cfo,
+                                    dab_prs_constellation, load_dab_prs_conj)
+    prs_conj = load_dab_prs_conj()
+    assert prs_conj.shape == (2048,)
+    prs = np.conj(prs_conj)
+    # Clean PRS -> zero CFO estimate
+    assert abs(float(dab_prs_cfo(jnp.asarray(prs)))) < 5e-3
+    # Known 3-bin CFO recovered to sub-bin accuracy
+    cfo = 2 * np.pi * 3 / 2048
+    rx = (prs * np.exp(1j * cfo * np.arange(2048))).astype(np.complex64)
+    assert abs(float(dab_prs_cfo(jnp.asarray(rx))) - cfo) < 5e-4
+    # Null-symbol detection + AGC update
+    is_null, avg = dab_null_detect(10.0, 100.0)
+    assert bool(is_null) and abs(float(avg) - 99.1) < 0.2
+    # The PRS itself is DQPSK: adjacent-bin differential demod clusters
+    # perfectly on the 4 phases (validates the extracted table + demod math).
+    c = np.asarray(dab_prs_constellation(jnp.asarray(prs)))
+    fold = np.mod(np.angle(c), np.pi / 2)
+    h, _ = np.histogram(fold, bins=9, range=(0, np.pi / 2))
+    assert h.max() > 0.9 * h.sum()

@@ -65,3 +65,16 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def extract_dab_phase_sym():
+    """Extract the DAB phase-reference symbol table (pure data) from
+    decoder_modules/dab_decoder/src/dab_phase_sym.h into dab_phase_sym.npz."""
+    import re as _re
+    text = Path("/root/reference/decoder_modules/dab_decoder/src/dab_phase_sym.h").read_text()
+    pairs = _re.findall(r"\{\s*([-0-9.eE+]+)\s*,\s*([-0-9.eE+]+)\s*\}", text)
+    assert len(pairs) == 2048, len(pairs)
+    arr = np.array([complex(float(a), float(b)) for a, b in pairs], np.complex64)
+    out = Path(__file__).resolve().parent.parent / "sdrpp_tpu" / "ops" / "dab_phase_sym.npz"
+    np.savez_compressed(out, prs_conj=arr)
+    print(f"wrote {out}")

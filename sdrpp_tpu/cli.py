@@ -41,7 +41,7 @@ def cmd_run(argv):
     p = argparse.ArgumentParser(prog="sdrpp_tpu run")
     _add_source_args(p)
     p.add_argument("--mode", default="wfm",
-                   choices=["wfm", "nfm", "am", "usb", "lsb", "dsb", "cw"])
+                   choices=["wfm", "nfm", "am", "usb", "lsb", "dsb", "cw", "raw"])
     p.add_argument("--offset", type=float, default=0.0, help="VFO offset Hz")
     p.add_argument("--bandwidth", type=float, default=None)
     p.add_argument("--audio-rate", type=float, default=48000.0)
@@ -63,6 +63,29 @@ def cmd_run(argv):
 
     src = _make_source(args)
     fs = src.samplerate
+
+    if args.mode == "raw":
+        # Baseband recording (the recorder module's baseband mode,
+        # misc_modules/recorder): IQ as stereo WAV (L=I, R=Q).
+        n_total = 0
+        chunks = []
+        block = args.block_size
+        src_len = len(getattr(src, "iq", [])) or None
+        nblocks = 0
+        while args.blocks == 0 or nblocks < args.blocks:
+            if src_len is not None and n_total + block > src_len:
+                break
+            iq = src.read(block)
+            chunks.append(np.stack([iq.real, iq.imag], -1))
+            n_total += block
+            nblocks += 1
+            if args.blocks == 0 and src_len is None and nblocks >= 100:
+                break
+        from .io import wav as wav_mod
+        wav_mod.write_wav(args.out, int(fs), np.concatenate(chunks), "i16")
+        log.info(f"recorded {n_total} IQ samples -> {args.out}")
+        return
+
     chan = RadioChannel(args.mode, fs, offset=args.offset,
                         bandwidth=args.bandwidth, audio_rate=args.audio_rate,
                         squelch_level=args.squelch, deemphasis=args.deemphasis)

@@ -131,3 +131,87 @@ def encode_callsign_base40(callsign: str) -> int:
             raise ValueError(f"invalid callsign char {ch!r}")
         encoded = encoded * 40 + idx
     return encoded
+
+
+# ---------------------------------------------------------------------------
+# Link Setup Frame decode (reference: lsf_decode.{h,cpp})
+# ---------------------------------------------------------------------------
+
+M17_DATA_TYPES = ("Unknown", "Data", "Voice", "Voice & Data")
+M17_ENCRYPTION_TYPES = ("None", "AES", "Scrambler", "Unknown")
+
+
+class M17LSF:
+    """Decoded Link Setup Frame fields (lsf_decode.h M17LSF)."""
+
+    def __init__(self):
+        self.valid = False
+        self.dst = self.src = ""
+        self.raw_dst = self.raw_src = 0
+        self.raw_type = self.raw_crc = 0
+        self.meta = b""
+        self.is_stream = False
+        self.data_type = 0
+        self.encryption_type = 0
+        self.encryption_subtype = 0
+        self.channel_access_num = 0
+
+
+def _bits_be(data: bytes, start_bit: int, nbits: int) -> int:
+    v = 0
+    for i in range(nbits):
+        bit = (data[(start_bit + i) // 8] >> (7 - ((start_bit + i) % 8))) & 1
+        v = (v << 1) | bit
+    return v
+
+
+def _decode_address(raw: int) -> str:
+    if raw == 0:
+        return "Invalid"
+    if raw <= 262143999999999:
+        return decode_callsign_base40(raw)
+    if raw == 0xFFFFFFFFFFFF:
+        return "Broadcast"
+    return f"{raw:X}"
+
+
+def decode_lsf(lsf_bytes: bytes) -> M17LSF:
+    """Decode a 30-byte M17 LSF (lsf_decode.cpp:27-112): DST(48) SRC(48)
+    TYPE(16) META(112) CRC(16); CRC16 over the first 28 bytes."""
+    assert len(lsf_bytes) >= 30
+    lsf = M17LSF()
+    lsf.raw_crc = _bits_be(lsf_bytes, 48 + 48 + 16 + 112, 16)
+    if crc16(bytes(lsf_bytes[:28])) != lsf.raw_crc:
+        return lsf
+    lsf.valid = True
+    lsf.raw_dst = _bits_be(lsf_bytes, 0, 48)
+    lsf.raw_src = _bits_be(lsf_bytes, 48, 48)
+    lsf.raw_type = _bits_be(lsf_bytes, 96, 16)
+    lsf.meta = bytes(lsf_bytes[14:28])
+    lsf.dst = _decode_address(lsf.raw_dst)
+    lsf.src = "Invalid" if lsf.raw_src in (0, 0xFFFFFFFFFFFF) \
+        else _decode_address(lsf.raw_src)
+    t = lsf.raw_type
+    lsf.is_stream = bool(t & 1)
+    lsf.data_type = (t >> 1) & 0b11
+    lsf.encryption_type = (t >> 3) & 0b11
+    lsf.encryption_subtype = (t >> 5) & 0b11
+    lsf.channel_access_num = (t >> 7) & 0b1111
+    return lsf
+
+
+def encode_lsf(dst: str, src: str, type_word: int, meta: bytes = b"\0" * 14) -> bytes:
+    """Build a valid LSF (test/TX helper; inverse of decode_lsf)."""
+    raw = bytearray(30)
+
+    def put_bits(start_bit, nbits, value):
+        for i in range(nbits):
+            bit = (value >> (nbits - 1 - i)) & 1
+            raw[(start_bit + i) // 8] |= bit << (7 - ((start_bit + i) % 8))
+
+    put_bits(0, 48, encode_callsign_base40(dst))
+    put_bits(48, 48, encode_callsign_base40(src))
+    put_bits(96, 16, type_word)
+    raw[14:28] = meta.ljust(14, b"\0")[:14]
+    put_bits(224, 16, crc16(bytes(raw[:28])))
+    return bytes(raw)

@@ -56,3 +56,18 @@ def test_base40_roundtrip():
         enc = encode_callsign_base40(cs)
         assert decode_callsign_base40(enc) == cs
     assert decode_callsign_base40(40 ** 9 + 1) == ""
+
+
+def test_lsf_roundtrip():
+    from sdrpp_tpu.decoders.m17 import decode_lsf, encode_lsf
+    type_word = (1 << 0) | (2 << 1) | (0 << 3) | (5 << 7)  # stream, voice, CAN 5
+    frame = encode_lsf("SP5WWP", "N0CALL", type_word, b"HELLO")
+    lsf = decode_lsf(frame)
+    assert lsf.valid
+    assert lsf.dst == "SP5WWP" and lsf.src == "N0CALL"
+    assert lsf.is_stream and lsf.data_type == 2 and lsf.channel_access_num == 5
+    assert lsf.meta.startswith(b"HELLO")
+    # CRC failure detection
+    bad = bytearray(frame)
+    bad[3] ^= 0x40
+    assert not decode_lsf(bytes(bad)).valid

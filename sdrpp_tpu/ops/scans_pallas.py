@@ -1,0 +1,157 @@
+"""Pallas TPU kernels for the per-sample sequential loops (PLL, FastAGC).
+
+The lax.scan formulations in ops/scans.py pay XLA loop overhead per sample
+(dynamic-update-slice on the stacked outputs, loop bookkeeping). These
+kernels run the recurrence as a tight fori_loop inside ONE pallas_call with
+the loop state in scalar memory and outputs streamed to VMEM — the
+SURVEY §7 mitigation for the "sequential scans bottleneck an otherwise
+vectorized chain" hard part.
+
+Everything vectorizable stays OUTSIDE the kernel: the PLL's input phases
+(atan2) and output phasors (cos/sin), FastAGC's input amplitudes — the
+kernels only sequence the scalar carries.
+
+Transparent fallback to the lax.scan blocks off-TPU; interpret-mode tests
+pin exact equivalence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .scans import FL_PI, PLL, FastAGC, _critically_damped
+
+__all__ = ["pll_phases_pallas", "fast_agc_gains_pallas",
+           "PLLPallas", "FastAGCPallas"]
+
+
+def _pallas_on_tpu() -> bool:
+    try:
+        import jax.experimental.pallas  # noqa: F401
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def pll_phases_pallas(in_phases: jax.Array, phase0, freq0, alpha, beta,
+                      min_freq, max_freq, interpret: bool = False):
+    """Sequential PLL phase recurrence -> (out_phases, phase_f, freq_f).
+
+    out_phases[t] is the VCO phase BEFORE consuming in_phases[t]
+    (reference pll.h:64-70 ordering).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = in_phases.shape[0]
+    alpha = np.float32(alpha)
+    beta = np.float32(beta)
+    min_freq = np.float32(min_freq)
+    max_freq = np.float32(max_freq)
+    two_pi = np.float32(2.0) * FL_PI
+
+    def kernel(state_ref, in_ref, out_ref, fin_ref):
+        def body(t, carry):
+            phase, freq = carry
+            out_ref[t] = phase
+            d = in_ref[t] - phase
+            d = jnp.where(d > FL_PI, d - two_pi, d)
+            d = jnp.where(d <= -FL_PI, d + two_pi, d)
+            freq = jnp.clip(freq + beta * d, min_freq, max_freq)
+            phase = phase + freq + alpha * d
+            phase = jnp.mod(phase + FL_PI, two_pi) - FL_PI
+            phase = jnp.where(phase > FL_PI, phase - two_pi, phase)
+            phase = jnp.where(phase <= -FL_PI, phase + two_pi, phase)
+            return (phase, freq)
+
+        phase, freq = jax.lax.fori_loop(
+            0, n, body, (state_ref[0], state_ref[1]))
+        fin_ref[0] = phase
+        fin_ref[1] = freq
+
+    state = jnp.stack([jnp.asarray(phase0, jnp.float32),
+                       jnp.asarray(freq0, jnp.float32)])
+    out, fin = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n,), jnp.float32),
+                   jax.ShapeDtypeStruct((2,), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        interpret=interpret,
+    )(state, in_phases.astype(jnp.float32))
+    return out, fin[0], fin[1]
+
+
+def fast_agc_gains_pallas(amps: jax.Array, gain0, set_point, max_gain, rate,
+                          interpret: bool = False):
+    """FastAGC gain recurrence -> (gains[t], gain_f); out = x * gains."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = amps.shape[0]
+    set_point = np.float32(set_point)
+    max_gain = np.float32(max_gain)
+    rate = np.float32(rate)
+
+    def kernel(state_ref, in_ref, out_ref, fin_ref):
+        def body(t, gain):
+            out_ref[t] = gain
+            out_amp = in_ref[t] * gain
+            gain = jnp.minimum(gain + (set_point - out_amp) * rate, max_gain)
+            return gain
+
+        gain = jax.lax.fori_loop(0, n, body, state_ref[0])
+        fin_ref[0] = gain
+
+    state = jnp.asarray(gain0, jnp.float32).reshape(1)
+    out, fin = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n,), jnp.float32),
+                   jax.ShapeDtypeStruct((1,), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        interpret=interpret,
+    )(state, amps.astype(jnp.float32))
+    return out, fin[0]
+
+
+class PLLPallas(PLL):
+    """PLL with the Pallas recurrence on TPU (lax.scan elsewhere)."""
+
+    def __init__(self, *args, interpret: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.interpret = interpret
+
+    def __call__(self, state, x):
+        if not self.interpret and not _pallas_on_tpu():
+            return super().__call__(state, x)
+        in_phase = jnp.arctan2(x.imag, x.real)
+        out_phases, phase_f, freq_f = pll_phases_pallas(
+            in_phase, state["phase"], state["freq"], self.alpha, self.beta,
+            self.min_freq, self.max_freq, interpret=self.interpret)
+        y = jax.lax.complex(jnp.cos(out_phases), jnp.sin(out_phases))
+        return {"phase": phase_f, "freq": freq_f}, y
+
+
+class FastAGCPallas(FastAGC):
+    """FastAGC with the Pallas recurrence on TPU (lax.scan elsewhere)."""
+
+    def __init__(self, *args, interpret: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.interpret = interpret
+
+    def __call__(self, state, x):
+        if not self.interpret and not _pallas_on_tpu():
+            return super().__call__(state, x)
+        amps = jnp.abs(x)
+        gains, gain_f = fast_agc_gains_pallas(
+            amps, state, self.set_point, self.max_gain, self.rate,
+            interpret=self.interpret)
+        y = x * gains.astype(x.dtype) if jnp.iscomplexobj(x) else x * gains
+        return gain_f, y

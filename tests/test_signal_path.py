@@ -128,3 +128,27 @@ def test_receiver_vfo_lifecycle():
     rx.delete_vfo("a")
     rx.run(1)
     assert "a" not in rx._channels and "b" in rx._channels
+
+
+def test_keep_skip_reshaper():
+    from sdrpp_tpu.ops.reshape import KeepSkipReshaper
+    r = KeepSkipReshaper(keep=4, skip=2)
+    x = jnp.asarray(np.arange(18, dtype=np.float32))
+    st, frames = r((), x)
+    assert frames.shape == (3, 4)
+    np.testing.assert_array_equal(np.asarray(frames),
+                                  [[0, 1, 2, 3], [6, 7, 8, 9], [12, 13, 14, 15]])
+
+
+def test_packer_reframes_with_carry():
+    from sdrpp_tpu.ops.reshape import Packer
+    p = Packer(frame_len=5, dtype=jnp.float32)
+    st = p.init_state()
+    stream = np.arange(23, dtype=np.float32)
+    got = []
+    for blk in (stream[:7], stream[7:12], stream[12:]):
+        st, (frames, n) = p(st, jnp.asarray(blk))
+        got.extend(np.asarray(frames)[: int(n)])
+    got = np.concatenate(got) if got else np.zeros(0)
+    np.testing.assert_array_equal(got, stream[:20])
+    assert int(st["fill"]) == 3

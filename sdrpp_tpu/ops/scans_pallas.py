@@ -21,10 +21,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .scans import FL_PI, PLL, FastAGC, _critically_damped
+from .scans import AGC, FL_PI, PLL, FastAGC, _critically_damped
 
-__all__ = ["pll_phases_pallas", "fast_agc_gains_pallas",
-           "PLLPallas", "FastAGCPallas"]
+__all__ = ["pll_phases_pallas", "fast_agc_gains_pallas", "agc_gains_pallas",
+           "PLLPallas", "FastAGCPallas", "AGCPallas"]
 
 
 def _pallas_on_tpu() -> bool:
@@ -155,3 +155,81 @@ class FastAGCPallas(FastAGC):
             interpret=self.interpret)
         y = x * gains.astype(x.dtype) if jnp.iscomplexobj(x) else x * gains
         return gain_f, y
+
+
+def agc_gains_pallas(amps: jax.Array, suffix_max: jax.Array, amp0, gain0,
+                     set_point, attack, decay, max_gain, max_output_amp,
+                     interpret: bool = False):
+    """Full AGC gain recurrence (ops/scans.AGC enabled branch) -> gains.
+
+    ``suffix_max`` is the precomputed look-ahead clip table (reverse cummax
+    of amps — vectorized outside the kernel)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = amps.shape[0]
+    set_point = np.float32(set_point)
+    attack = np.float32(attack)
+    inv_attack = np.float32(1.0) - attack
+    decay = np.float32(decay)
+    inv_decay = np.float32(1.0) - decay
+    max_gain = np.float32(max_gain)
+    max_out = np.float32(max_output_amp)
+
+    def kernel(state_ref, amp_ref, smax_ref, out_ref, fin_ref):
+        def body(t, carry):
+            amp, gain = carry
+            a = amp_ref[t]
+            nonzero = a != 0.0
+            amp_upd = jnp.where(a > amp, amp * inv_attack + a * attack,
+                                amp * inv_decay + a * decay)
+            amp1 = jnp.where(nonzero, amp_upd, amp)
+            gain1 = jnp.where(nonzero,
+                              jnp.minimum(set_point / amp1, max_gain),
+                              np.float32(1.0))
+            clipping = a * gain1 > max_out
+            amp2 = jnp.where(clipping, smax_ref[t], amp1)
+            gain2 = jnp.where(clipping,
+                              jnp.minimum(set_point / amp2, max_gain), gain1)
+            out_ref[t] = gain2
+            return (amp2, gain2)
+
+        amp, gain = jax.lax.fori_loop(0, n, body, (state_ref[0], state_ref[1]))
+        fin_ref[0] = amp
+        fin_ref[1] = gain
+
+    state = jnp.stack([jnp.asarray(amp0, jnp.float32),
+                       jnp.asarray(gain0, jnp.float32)])
+    out, fin = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n,), jnp.float32),
+                   jax.ShapeDtypeStruct((2,), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        interpret=interpret,
+    )(state, amps.astype(jnp.float32), suffix_max.astype(jnp.float32))
+    return out, fin[0], fin[1]
+
+
+class AGCPallas(AGC):
+    """Full AGC with the Pallas recurrence on TPU (lax.scan elsewhere)."""
+
+    def __init__(self, *args, interpret: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.interpret = interpret
+
+    def __call__(self, state, x):
+        if not self.enabled or (not self.interpret and not _pallas_on_tpu()):
+            return super().__call__(state, x)
+        in_amp = jnp.abs(x)
+        suffix_max = jnp.flip(
+            jax.lax.cummax(jnp.flip(in_amp, -1), axis=in_amp.ndim - 1), -1)
+        gains, amp_f, gain_f = agc_gains_pallas(
+            in_amp, suffix_max, state["amp"], state["gain"], self.set_point,
+            self.attack, self.decay, self.max_gain, self.max_output_amp,
+            interpret=self.interpret)
+        y = x * gains.astype(x.dtype) if jnp.iscomplexobj(x) else x * gains
+        return {"amp": amp_f, "gain": gain_f}, y

@@ -32,3 +32,19 @@ def test_fast_agc_pallas_matches_scan_multiblock():
         s2, y2 = pal(s2, jnp.asarray(blk))
         np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
     assert float(s1) == float(s2)
+
+
+def test_agc_pallas_matches_scan():
+    from sdrpp_tpu.ops.scans import AGC
+    from sdrpp_tpu.ops.scans_pallas import AGCPallas
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal(2048) * np.linspace(0.1, 3.0, 2048)) \
+        .astype(np.float32)
+    x[500] = 80.0  # trigger the look-ahead clip path
+    ref = AGC(1.0, 0.1, 0.01, 1e4, 10.0, float("inf"))
+    pal = AGCPallas(1.0, 0.1, 0.01, 1e4, 10.0, float("inf"), interpret=True)
+    s1, y1 = ref(ref.init_state(), jnp.asarray(x))
+    s2, y2 = pal(pal.init_state(), jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    assert float(s1["amp"]) == float(s2["amp"])
+    assert float(s1["gain"]) == float(s2["gain"])

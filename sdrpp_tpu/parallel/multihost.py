@@ -1,0 +1,94 @@
+"""Multi-host pod execution: distributed init + per-host ingest.
+
+SURVEY §2.15/§5 distributed plan: ICI collectives intra-slice (the
+channel/time sharding in vfo_bank.py and time_shard.py), DCN between
+slices, and a host-side ingest layer feeding per-host device buffers (the
+role the reference's TCP server protocol plays for remote IQ delivery —
+io/wire.py speaks that exact wire format).
+
+One real chip is available in this environment, so pod runs can't be
+exercised here; this module is the process-level plumbing, written to the
+standard jax.distributed contract and validated for structure by
+tests on the single-process path. On a pod:
+
+    # on every host (coordinator = host 0):
+    rx = MultiHostReceiver(coordinator="host0:8476", num_processes=N,
+                           process_id=i, channels_per_host=64, ...)
+    rx.run(source)  # each host feeds its local shard of channels
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..io.sources import FileSource
+from .vfo_bank import ScannerBank
+
+__all__ = ["distributed_init", "global_channel_mesh", "MultiHostReceiver",
+           "host_shard_paths"]
+
+
+def distributed_init(coordinator: str | None = None, num_processes: int = 1,
+                     process_id: int = 0):
+    """Initialize jax.distributed when running multi-process; no-op for a
+    single process (the local-devices path used in tests)."""
+    if num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_count(), jax.process_index()
+
+
+def global_channel_mesh() -> Mesh:
+    """A 1-D 'channels' mesh over ALL devices across hosts (ICI+DCN)."""
+    devs = np.asarray(jax.devices())
+    return Mesh(devs.reshape(len(devs)), axis_names=("channels",))
+
+
+def host_shard_paths(paths, process_index: int, process_count: int):
+    """Per-host file sharding: host i reads every i-th capture file
+    (the per-host ingest half of the SURVEY §5 plan)."""
+    return list(paths)[process_index::process_count]
+
+
+class MultiHostReceiver:
+    """Channel-sharded scanner bank spanning all hosts' devices.
+
+    Each host contributes ``channels_per_host`` channels; the wideband
+    block is produced per-host (each host ingests its own capture/stream)
+    and the bank's state/output shard across the global mesh with
+    jax.make_array_from_process_local_data, so XLA moves only what the
+    collectives need over DCN.
+    """
+
+    def __init__(self, offsets_hz, in_samplerate: float, mode: str = "nfm",
+                 if_rate: float = 48000.0, bandwidth: float = 12500.0,
+                 coordinator: str | None = None, num_processes: int = 1,
+                 process_id: int = 0):
+        distributed_init(coordinator, num_processes, process_id)
+        self.mesh = global_channel_mesh()
+        self.bank = ScannerBank(offsets_hz, in_samplerate, mode=mode,
+                                if_rate=if_rate, bandwidth=bandwidth)
+        self.block_multiple = self.bank.block_multiple
+        self._state, self._in_sh, self._out_sh = self.bank.shard(
+            self.mesh, self.bank.init_state())
+        self._step = jax.jit(self.bank, in_shardings=(None, self._in_sh),
+                             out_shardings=(None, self._out_sh))
+
+    def process_block(self, local_iq: np.ndarray):
+        """Feed one wideband block (identical logical content on each host —
+        e.g. every host reading its copy/shard of the capture stream).
+        Returns the audio shard local to this host's devices."""
+        x = jax.device_put(jnp.asarray(local_iq), self._in_sh)
+        self._state, audio = self._step(self._state, x)
+        return audio
+
+    def run_file(self, path, num_blocks: int, block_size: int):
+        src = FileSource(path)
+        outs = []
+        for _ in range(num_blocks):
+            outs.append(self.process_block(src.read(block_size)))
+        return outs

@@ -90,3 +90,21 @@ def test_scanner_bank_audio_content():
     S = np.abs(np.fft.rfft(a0[len(a0) // 2:]))
     freqs = np.fft.rfftfreq(len(a0) - len(a0) // 2, 1 / 32000.0)
     assert abs(freqs[np.argmax(S)] - 1000.0) < 20.0
+
+
+def test_multihost_single_process_path():
+    # Single-process degenerate case of the pod plumbing: global mesh over
+    # the 8 virtual devices, per-host file sharding helper.
+    from sdrpp_tpu.parallel.multihost import (MultiHostReceiver,
+                                              host_shard_paths)
+    assert host_shard_paths(["a", "b", "c", "d", "e"], 1, 2) == ["b", "d"]
+    fs = 1024000.0
+    offs = np.linspace(-400000.0, 400000.0, 16)
+    rx = MultiHostReceiver(offs, fs, mode="nfm", if_rate=32000.0)
+    n = rx.block_multiple * max(1, 32768 // rx.block_multiple)
+    rng = np.random.default_rng(0)
+    iq = (0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+          ).astype(np.complex64)
+    audio = rx.process_block(iq)
+    assert audio.shape[0] == 16
+    assert len(audio.sharding.device_set) == len(jax.devices())

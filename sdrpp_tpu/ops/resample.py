@@ -135,14 +135,39 @@ class PolyphaseResampler(Block):
 
     def __call__(self, state, x):
         n = x.shape[-1]
-        offsets, taps_sel = self._index_tables(n)
+        out_n = self.out_count(n)
         buf = jnp.concatenate([state, x], axis=-1)
-        # windows[..., k, t] = buf[..., offsets[k] + t]
-        idx = offsets[:, None] + np.arange(self.tpp, dtype=np.int32)[None, :]
-        windows = buf[..., jnp.asarray(idx)]  # [..., out_n, tpp]
-        y = jnp.sum(windows * jnp.asarray(taps_sel), axis=-1)
-        y = y.astype(self.dtype) if jnp.iscomplexobj(x) else y
         new_tail = buf[..., n:]
+        i, d, tpp = self.interp, self.decim, self.tpp
+
+        if out_n % i == 0:
+            # Gather-free grouped form: outputs k = m*i + r share phase
+            # bank[(r*d) % i] and their offsets advance by exactly d —
+            # each group is a stride-d correlation (a decimating FIR with
+            # that phase's taps). Work = out_n * tpp MACs, pure slices.
+            groups = []
+            m_count = out_n // i
+            for r in range(i):
+                v = r * d
+                off0 = v // i
+                phase = v % i
+                taps_r = self.bank[phase]  # [tpp]
+                acc = None
+                for t in range(tpp):
+                    start = off0 + t
+                    sl = jax.lax.slice_in_dim(buf, start, start + (m_count - 1) * d + 1,
+                                              axis=-1)[..., ::d]
+                    term = sl * taps_r[t]
+                    acc = term if acc is None else acc + term
+                groups.append(acc)
+            # Interleave groups: y[m*i + r] = groups[r][m]
+            y = jnp.stack(groups, axis=-1).reshape(*buf.shape[:-1], out_n)
+        else:
+            offsets, taps_sel = self._index_tables(n)
+            idx = offsets[:, None] + np.arange(tpp, dtype=np.int32)[None, :]
+            windows = buf[..., jnp.asarray(idx)]  # [..., out_n, tpp]
+            y = jnp.sum(windows * jnp.asarray(taps_sel), axis=-1)
+        y = y.astype(self.dtype) if jnp.iscomplexobj(x) else y
         return new_tail, y
 
 

@@ -21,7 +21,8 @@ from ..ops.fir import FIR
 from ..ops.fm import Quadrature
 from ..ops.mix import FrequencyXlator, hz_to_rads
 from ..ops.resample import RationalResampler
-from ..ops.scans import AGC, DCBlocker, PLL
+from ..ops.scans import DCBlocker
+from ..ops.scans_pallas import AGCPallas as AGC, PLLPallas as PLL
 from ..utils.blocks import Block
 
 __all__ = ["AMDemod", "SSBDemod", "CWDemod", "NFMDemod", "WFMDemod"]

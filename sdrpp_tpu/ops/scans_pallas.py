@@ -129,7 +129,7 @@ class PLLPallas(PLL):
         self.interpret = interpret
 
     def __call__(self, state, x):
-        if not self.interpret and not _pallas_on_tpu():
+        if x.ndim != 1 or (not self.interpret and not _pallas_on_tpu()):
             return super().__call__(state, x)
         in_phase = jnp.arctan2(x.imag, x.real)
         out_phases, phase_f, freq_f = pll_phases_pallas(
@@ -147,7 +147,7 @@ class FastAGCPallas(FastAGC):
         self.interpret = interpret
 
     def __call__(self, state, x):
-        if not self.interpret and not _pallas_on_tpu():
+        if x.ndim != 1 or (not self.interpret and not _pallas_on_tpu()):
             return super().__call__(state, x)
         amps = jnp.abs(x)
         gains, gain_f = fast_agc_gains_pallas(
@@ -222,7 +222,8 @@ class AGCPallas(AGC):
         self.interpret = interpret
 
     def __call__(self, state, x):
-        if not self.enabled or (not self.interpret and not _pallas_on_tpu()):
+        if x.ndim != 1 or not self.enabled or \
+                (not self.interpret and not _pallas_on_tpu()):
             return super().__call__(state, x)
         in_amp = jnp.abs(x)
         suffix_max = jnp.flip(

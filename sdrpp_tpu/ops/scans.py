@@ -23,6 +23,7 @@ __all__ = [
     "AGC",
     "FastAGC",
     "PLL",
+    "CarrierTrackingPLL",
     "Costas",
     "NoiseBlanker",
     "Squelch",
@@ -428,3 +429,28 @@ class Squelch(Block):
         zero = jnp.zeros((), frames.dtype)
         y = jnp.where(mutes[..., :, None], zero, frames).reshape(x.shape)
         return {"mute": mute_f, "cnt": cnt_f}, y
+
+
+class CarrierTrackingPLL(PLL):
+    """PLL variant that outputs the mixed-down signal instead of the VCO
+    (reference: core/src/dsp/loop/carrier_tracking_pll.h:14-19):
+    out[i] = in[i] * phasor(-phase); advance(normalize(angle(in[i]) - phase)).
+    """
+
+    def __call__(self, state, x):
+        in_phase = jnp.arctan2(x.imag, x.real)
+
+        def step(carry, inp):
+            phase, freq = carry
+            ph_in, v = inp
+            out = v * jax.lax.complex(jnp.cos(-phase), jnp.sin(-phase))
+            err = _normalize_phase(ph_in - phase)
+            phase, freq = _pcl_advance(phase, freq, err, self.alpha, self.beta,
+                                       self.min_freq, self.max_freq)
+            return (phase, freq), out
+
+        seq = (jnp.moveaxis(in_phase, -1, 0), jnp.moveaxis(x, -1, 0))
+        (phase_f, freq_f), out = jax.lax.scan(
+            step, (state["phase"], state["freq"]), seq)
+        out = jnp.moveaxis(out, 0, -1)
+        return {"phase": phase_f, "freq": freq_f}, out

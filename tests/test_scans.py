@@ -229,3 +229,17 @@ def test_mix_phase_continuity():
     got = np.concatenate([np.asarray(y1), np.asarray(y2)])
     want = np.exp(1j * omega * np.arange(2 * n))
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_carrier_tracking_pll_removes_carrier():
+    fs, f0, n = 48000.0, 1500.0, 8192
+    rng = np.random.default_rng(8)
+    data = rng.standard_normal(n) * 0.2 + 1.0  # AM-ish envelope
+    x = (data * np.exp(1j * (2 * np.pi * f0 * np.arange(n) / fs + 0.4))) \
+        .astype(np.complex64)
+    blk = scans.CarrierTrackingPLL(bandwidth=0.02)
+    st, y = blk(blk.init_state(), jnp.asarray(x))
+    y = np.asarray(y)[n // 2:]
+    # After lock the carrier is removed: output mostly real/positive.
+    assert np.mean(y.real > 0) > 0.95
+    assert np.mean(np.abs(y.imag)) < 0.2 * np.mean(np.abs(y.real))

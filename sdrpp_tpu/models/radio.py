@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.fm_if import FMIFNoiseReduction
 from ..ops.resample import RationalResampler
 from ..ops.scans import Deemphasis, NoiseBlanker, Squelch
 from ..utils.blocks import Block
@@ -64,8 +65,8 @@ class RadioChannel(Block):
     def __init__(self, mode: str, in_samplerate: float, offset: float = 0.0,
                  bandwidth: float | None = None, audio_rate: float = 48000.0,
                  squelch_level: float | None = None, noise_blanker: bool = False,
-                 deemphasis: str | None = None, stereo_wfm: bool = True,
-                 rds: bool = False, lead_shape=()):
+                 fm_if_nr: bool = False, deemphasis: str | None = None,
+                 stereo_wfm: bool = True, rds: bool = False, lead_shape=()):
         mode = mode.lower()
         defaults = DEMOD_DEFAULTS[mode]
         self.mode = mode
@@ -84,6 +85,8 @@ class RadioChannel(Block):
                               if noise_blanker else None)
         self.squelch = (Squelch(squelch_level, lead_shape=ls)
                         if squelch_level is not None else None)
+        # FM IF noise reduction, 32 bins (radio_module.h:74 fmnr.init(...,32))
+        self.fm_if = (FMIFNoiseReduction(32, lead_shape=ls) if fm_if_nr else None)
         self.demod = _make_demod(mode, bandwidth, if_rate, ls, stereo_wfm, self.rds)
         self.stereo_out = mode == "wfm"
         # AF chain (radio_module.h:81-88): demod AF rate -> audio rate
@@ -118,6 +121,7 @@ class RadioChannel(Block):
             "vfo": self.vfo.init_state(),
             "nb": self.noise_blanker.init_state() if self.noise_blanker else (),
             "squelch": self.squelch.init_state() if self.squelch else (),
+            "fm_if": self.fm_if.init_state() if self.fm_if else (),
             "demod": self.demod.init_state(),
             "af_resamp": self.af_resamp.init_state() if self.af_resamp else (),
             "deemph": self.deemph.init_state() if self.deemph else (),
@@ -130,6 +134,8 @@ class RadioChannel(Block):
             st["nb"], x = self.noise_blanker(state["nb"], x)
         if self.squelch is not None:
             st["squelch"], x = self.squelch(state["squelch"], x)
+        if self.fm_if is not None:
+            st["fm_if"], x = self.fm_if(state["fm_if"], x)
         rds = None
         if self.rds:
             st["demod"], (audio, rds) = self.demod(state["demod"], x)

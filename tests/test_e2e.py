@@ -93,3 +93,18 @@ def test_config1_squelch_and_blanker_path(tmp_path):
     st = chan.init_state()
     st, audio = jax.jit(chan)(st, jnp.asarray(iq))
     assert np.all(np.isfinite(np.asarray(audio)))
+
+
+def test_nfm_channel_with_fmif_nr():
+    fs_in = 96000.0
+    chan = RadioChannel("nfm", fs_in, offset=10000.0, fm_if_nr=True)
+    n = chan.block_multiple * max(1, 96000 // chan.block_multiple)
+    t = np.arange(n) / fs_in
+    iq = (0.5 * np.exp(1j * (2 * np.pi * 10000.0 * t
+                             + np.cumsum(2 * np.pi * 5000.0
+                                         * np.sin(2 * np.pi * 1000.0 * t)
+                                         / fs_in)))).astype(np.complex64)
+    st, audio = jax.jit(chan)(chan.init_state(), jnp.asarray(iq))
+    audio = np.asarray(audio)
+    assert np.all(np.isfinite(audio))
+    assert tone_snr(audio, 48000.0, 1000.0) > 20

@@ -111,3 +111,52 @@ def test_rds_chain_runs_and_locks():
     assert abs(n - len(x) / (RDS_RATE / RDS_BAUD)) < 30
     d = np.asarray(decoded)[:n]
     assert set(np.unique(d)).issubset({0, 1})
+
+
+def test_full_wfm_rds_chain_from_rf():
+    """SURVEY §3.5's deepest chain, end to end: FM-modulated MPX (pilot +
+    stereo + 57 kHz RDS subcarrier) -> WFMDemod stereo + RDS tap -> RDS DSP
+    chain -> group decoder -> PI/PS recovered."""
+    import jax
+    from sdrpp_tpu.models.analog import WFMDemod
+
+    fs, dev = 240000.0, 75000.0
+    bits = []
+    name = b"JAXRADIO"
+    for rep in range(8):
+        for seg in range(4):
+            block_b = (0 << 12) | (9 << 5) | seg
+            blocks = [0x2ABC, block_b, 0xE0E0,
+                      (name[seg * 2] << 8) | name[seg * 2 + 1]]
+            bits += rds.encode_group(blocks)
+    bits = np.array(bits, np.uint8)
+    diff = np.zeros(len(bits), np.uint8)
+    last = 0
+    for i, b in enumerate(bits):
+        last ^= b
+        diff[i] = last
+    half = np.where(diff[:, None] == 1, [1.0, -1.0], [-1.0, 1.0]).reshape(-1)
+    sps = fs / (2 * RDS_BAUD)
+    n = int(len(half) * sps)
+    k = np.floor(np.arange(n) / sps).astype(int)
+    rds_bb = half[np.clip(k, 0, len(half) - 1)]
+    rds_bb = np.convolve(rds_bb, np.ones(64) / 64.0, mode="same")
+
+    t = np.arange(n) / fs
+    l = 0.4 * np.sin(2 * np.pi * 1000.0 * t)
+    r = 0.4 * np.sin(2 * np.pi * 3000.0 * t)
+    mpx = (0.41 * (l + r) + 0.1 * np.sin(2 * np.pi * 19000.0 * t)
+           + 0.41 * (l - r) * np.sin(2 * np.pi * 38000.0 * t)
+           + 0.06 * rds_bb * np.cos(2 * np.pi * 57000.0 * t))
+    iq = np.exp(1j * np.cumsum(2 * np.pi * dev * mpx / fs)).astype(np.complex64)
+
+    d = WFMDemod(deviation=dev, samplerate=fs, stereo=True, rds_out=True)
+    bm = d.rds_resamp.block_multiple
+    blk = (n // bm) * bm
+    st, (stereo, rdsout) = jax.jit(d)(d.init_state(), jnp.asarray(iq[:blk]))
+
+    rx = RDSReceiver()
+    rx.process(np.asarray(rdsout))
+    assert rx.decoder.pi_code == 0x2ABC
+    assert rx.decoder.ps_name == "JAXRADIO"
+    assert rx.decoder.groups_decoded >= 10

@@ -152,3 +152,25 @@ def test_packer_reframes_with_carry():
     got = np.concatenate(got) if got else np.zeros(0)
     np.testing.assert_array_equal(got, stream[:20])
     assert int(st["fill"]) == 3
+
+
+def test_table_source_aes17_levels():
+    from sdrpp_tpu.io.sources import TableSource, decode_test_table
+    # 0 dB table: peak magnitude ~1.0; -20 dB table ~0.1 (AES17 levels).
+    t0 = decode_test_table("aes17_0dB")
+    t20 = decode_test_table("aes17_m20dB")
+    assert abs(np.max(np.abs(t0[1:])) - 1.0) < 0.01   # skip the 0x3fff marker
+    assert abs(np.max(np.abs(t20[1:])) / 0.1 - 1.0) < 0.05
+    # Source cycles the table with phase carry.
+    src = TableSource(48000.0, "aes17_0dB")
+    a = src.read(10)
+    b = src.read(10)
+    np.testing.assert_allclose(np.concatenate([a, b]).real[:16],
+                               decode_test_table("aes17_0dB")[
+                                   np.arange(16) % 16])
+    # The sine tables produce a clean tone at fs/16.
+    src2 = TableSource(48000.0, "sfdr119_56dB")
+    x = src2.read(1600).real
+    S = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    fr = np.fft.rfftfreq(len(x), 1 / 48000.0)
+    assert abs(fr[np.argmax(S[1:]) + 1] - 3000.0) < 50.0  # 48k/16

@@ -196,6 +196,55 @@ def cmd_serve(argv):
         srv.close()
 
 
+def cmd_scan(argv):
+    p = argparse.ArgumentParser(prog="sdrpp_tpu scan")
+    _add_source_args(p)
+    p.add_argument("--start", type=float, required=True, help="start offset Hz")
+    p.add_argument("--stop", type=float, required=True, help="stop offset Hz")
+    p.add_argument("--interval", type=float, default=25000.0)
+    p.add_argument("--level", type=float, default=-50.0)
+    p.add_argument("--mode", default="nfm",
+                   choices=["nfm", "am", "usb", "lsb", "cw"])
+    p.add_argument("--bandwidth", type=float, default=12500.0)
+    p.add_argument("--blocks", type=int, default=20)
+    p.add_argument("--block-size", type=int, default=131072)
+    p.add_argument("--fft-size", type=int, default=4096)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .misc.meters import vfo_signal_info
+    from .misc.scanner import Scanner
+    from .signal_path import IQFrontEnd
+
+    src = _make_source(args)
+    fs = src.samplerate
+    fe = IQFrontEnd(fs, fft_size=args.fft_size,
+                    fft_rate=fs / args.block_size * 2,
+                    block_size=args.block_size)
+    step = jax.jit(fe)
+    st = fe.init_state()
+    sc = Scanner(args.start, args.stop, args.interval, level_db=args.level)
+    now = 0.0
+    hits = {}
+    for i in range(args.blocks):
+        stt, (_iq, fft) = step(st, jnp.asarray(src.read(args.block_size)))
+        st = stt
+        line = np.asarray(fft)[-1]
+        freq = sc.step(line, args.bandwidth, 0.0, fs, now)
+        now += args.block_size / fs
+        if sc.receiving:
+            strength, snr = vfo_signal_info(line, freq, args.bandwidth, fs)
+            hits[freq] = max(hits.get(freq, -999), strength)
+            log.info(f"RECEIVING {freq/1e3:+.1f} kHz  {strength:.1f} dB "
+                     f"(SNR {snr:.1f} dB)")
+        else:
+            log.info(f"scanning... at {freq/1e3:+.1f} kHz")
+    for f, s in sorted(hits.items()):
+        print(f"{f:+12.0f} Hz  {s:6.1f} dB")
+
+
 def cmd_bench(argv):
     import bench
 
@@ -207,6 +256,7 @@ COMMANDS = {
     "run": cmd_run,
     "spectrum": cmd_spectrum,
     "serve": cmd_serve,
+    "scan": cmd_scan,
     "bench": cmd_bench,
 }
 

@@ -56,6 +56,8 @@ class Receiver:
                 f"block size {eff_block} not a multiple of channel requirement "
                 f"{chan.block_multiple} for mode {mode}")
         self._channels[name] = chan
+        self._channel_cfg = getattr(self, "_channel_cfg", {})
+        self._channel_cfg[name] = dict(mode=mode, bandwidth=bandwidth, **kwargs)
         self.sinks.register_stream(name, self.audio_rate)
         self._rebuild()
         return chan
@@ -66,11 +68,14 @@ class Receiver:
         self._rebuild()
 
     def set_vfo_offset(self, name: str, offset: float):
-        chan = self._channels[name]
-        # Rebuild the channel with the new offset (config is static).
+        # Rebuild the channel with the new offset, preserving its full
+        # configuration (mode/bandwidth/squelch/...).
+        cfg = getattr(self, "_channel_cfg", {}).get(name, {"mode":
+                                                           self._channels[name].mode})
         self._channels[name] = RadioChannel(
-            chan.mode, self.frontend.effective_samplerate, offset=offset,
-            audio_rate=self.audio_rate)
+            cfg["mode"], self.frontend.effective_samplerate, offset=offset,
+            bandwidth=cfg.get("bandwidth"), audio_rate=self.audio_rate,
+            **{k: v for k, v in cfg.items() if k not in ("mode", "bandwidth")})
         self._rebuild()
 
     # ---- graph building ----

@@ -174,3 +174,19 @@ def test_table_source_aes17_levels():
     S = np.abs(np.fft.rfft(x * np.hanning(len(x))))
     fr = np.fft.rfftfreq(len(x), 1 / 48000.0)
     assert abs(fr[np.argmax(S[1:]) + 1] - 3000.0) < 50.0  # 48k/16
+
+
+def test_receiver_retune_preserves_config():
+    fs = 512000.0
+    rx = Receiver(fs, block_size=65536, fft_size=1024, fft_rate=fs / 16384,
+                  audio_rate=32000.0)
+    src = TestSource(fs, tones=[(50000.0, -10.0)])
+    rx.sources.register("t", src)
+    rx.sources.select("t")
+    rx.create_vfo("a", "nfm", offset=50000.0, squelch_level=-60.0,
+                  bandwidth=10000.0)
+    rx.set_vfo_offset("a", -100000.0)
+    chan = rx._channels["a"]
+    assert chan.mode == "nfm"
+    assert chan.squelch is not None  # squelch survived the retune
+    rx.run(1)

@@ -32,6 +32,9 @@ DEMOD_DEFAULTS = {
     "lsb": dict(if_rate=48000.0, bandwidth=2700.0),
     "dsb": dict(if_rate=48000.0, bandwidth=4600.0),
     "cw": dict(if_rate=3000.0, bandwidth=500.0),
+    # RAW: IF rate follows the audio rate; I/Q out as stereo
+    # (decoder_modules/radio/src/demodulators/raw.h:49,66)
+    "raw": dict(if_rate=None, bandwidth=None),
 }
 
 DEEMP_TAUS = {"22us": 22e-6, "50us": 50e-6, "75us": 75e-6, None: None}
@@ -51,6 +54,8 @@ def _make_demod(mode: str, bandwidth: float, if_rate: float, lead_shape,
                         lead_shape=lead_shape)
     if mode == "cw":
         return CWDemod(samplerate=if_rate, lead_shape=lead_shape)
+    if mode == "raw":
+        return None  # RAW: VFO IQ passed through as stereo
     raise ValueError(f"unknown demod mode {mode}")
 
 
@@ -70,8 +75,9 @@ class RadioChannel(Block):
         mode = mode.lower()
         defaults = DEMOD_DEFAULTS[mode]
         self.mode = mode
-        if_rate = defaults["if_rate"]
-        bandwidth = bandwidth if bandwidth is not None else defaults["bandwidth"]
+        if_rate = defaults["if_rate"] if defaults["if_rate"] else audio_rate
+        if bandwidth is None:
+            bandwidth = defaults["bandwidth"] if defaults["bandwidth"] else if_rate
         self.if_rate = if_rate
         self.audio_rate = audio_rate
         self.rds = rds and mode == "wfm"
@@ -88,7 +94,7 @@ class RadioChannel(Block):
         # FM IF noise reduction, 32 bins (radio_module.h:74 fmnr.init(...,32))
         self.fm_if = (FMIFNoiseReduction(32, lead_shape=ls) if fm_if_nr else None)
         self.demod = _make_demod(mode, bandwidth, if_rate, ls, stereo_wfm, self.rds)
-        self.stereo_out = mode == "wfm"
+        self.stereo_out = mode in ("wfm", "raw")
         # AF chain (radio_module.h:81-88): demod AF rate -> audio rate
         af_rate = if_rate  # all demods: AF rate == IF rate
         self.af_resamp = (RationalResampler(af_rate, audio_rate, dtype=jnp.float32,
@@ -122,7 +128,7 @@ class RadioChannel(Block):
             "nb": self.noise_blanker.init_state() if self.noise_blanker else (),
             "squelch": self.squelch.init_state() if self.squelch else (),
             "fm_if": self.fm_if.init_state() if self.fm_if else (),
-            "demod": self.demod.init_state(),
+            "demod": self.demod.init_state() if self.demod else (),
             "af_resamp": self.af_resamp.init_state() if self.af_resamp else (),
             "deemph": self.deemph.init_state() if self.deemph else (),
         }
@@ -137,7 +143,10 @@ class RadioChannel(Block):
         if self.fm_if is not None:
             st["fm_if"], x = self.fm_if(state["fm_if"], x)
         rds = None
-        if self.rds:
+        if self.demod is None:  # RAW: I/Q to stereo (convert/complex_to_stereo)
+            import jax.numpy as _jnp
+            audio = _jnp.stack([x.real, x.imag], axis=-1)
+        elif self.rds:
             st["demod"], (audio, rds) = self.demod(state["demod"], x)
         else:
             st["demod"], audio = self.demod(state["demod"], x)

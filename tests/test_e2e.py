@@ -108,3 +108,18 @@ def test_nfm_channel_with_fmif_nr():
     audio = np.asarray(audio)
     assert np.all(np.isfinite(audio))
     assert tone_snr(audio, 48000.0, 1000.0) > 20
+
+
+def test_raw_mode_passes_iq_as_stereo():
+    chan = RadioChannel("raw", 96000.0, offset=20000.0, audio_rate=48000.0)
+    n = chan.block_multiple * 4096
+    t = np.arange(n) / 96000.0
+    iq = np.exp(2j * np.pi * 21000.0 * t).astype(np.complex64)
+    st, out = jax.jit(chan)(chan.init_state(), jnp.asarray(iq))
+    out = np.asarray(out)
+    assert out.shape == (n // 2, 2)
+    z = out[..., 0] + 1j * out[..., 1]
+    spec = np.abs(np.fft.fft(z[len(z) // 2:]))
+    freqs = np.fft.fftfreq(len(spec), 1 / 48000.0)
+    # 21 kHz mixed by -20 kHz -> 1 kHz complex tone in the stereo I/Q out
+    assert abs(freqs[np.argmax(spec)] - 1000.0) < 30.0

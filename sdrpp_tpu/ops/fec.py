@@ -353,3 +353,100 @@ class ReedSolomon:
         nerr_found = jnp.sum(is_err.astype(jnp.int32))
         ok = jnp.all(synd2 == 0) & (no_errors | (nerr_found == Llen))
         return corrected[: self.msg_len].astype(jnp.uint8), ok
+
+
+def _rs_decode_with_erasures(self, block, erasure_pos, num_erasures):
+    """Decode with known erasure positions (libcorrect
+    correct_reed_solomon_decode_with_erasures): correct f erasures plus e
+    errors while 2e + f <= nroots.
+
+    ``erasure_pos``: int32 [max_erasures] byte indices into the 255-byte
+    block (first ``num_erasures`` valid). Returns (msg, ok).
+    """
+    exp, log = self._jt
+    r = block.astype(jnp.int32)
+    N = self.block_len
+    nroots = self.nroots
+    L = nroots + 1
+    max_e = erasure_pos.shape[0]
+
+    roots = jnp.asarray(self.roots.astype(np.int32))
+    synd, _ = jax.lax.scan(lambda acc, c: (self._mul(acc, roots) ^ c, None),
+                           jnp.zeros(nroots, jnp.int32), r)
+    no_errors = jnp.all(synd == 0)
+
+    # Erasure locator Gamma(x) = prod_j (1 ^ X_j x) with X_j = alpha^{gap*jpos}
+    # where jpos = N-1-byte_index (coefficient power).
+    jpos_e = (N - 1 - erasure_pos) % N
+    Xj_e = exp[(self.gap * jpos_e) % 255]
+
+    def gamma_step(g, k):
+        # multiply g by (1 + X_k x) when k < num_erasures
+        shifted = jnp.concatenate([jnp.zeros(1, jnp.int32), g[:-1]])
+        cand = g ^ self._mul(shifted, Xj_e[k])
+        return jnp.where(k < num_erasures, cand, g), None
+
+    g0 = jnp.zeros(L, jnp.int32).at[0].set(1)
+    Gamma, _ = jax.lax.scan(gamma_step, g0, jnp.arange(max_e))
+
+    # Berlekamp-Massey initialized with the erasure locator; steps start at
+    # n = f and the growth condition becomes 2*(L-f) <= n - f.
+    f = num_erasures
+
+    def bm_step(carry, i):
+        Lam, Bs, Llen, b = carry
+        active = i >= f
+        idx = i - jnp.arange(L)
+        s_at = jnp.where((idx >= 0) & (idx < nroots),
+                         synd[jnp.clip(idx, 0, nroots - 1)], 0)
+        d = _xor_reduce(self._mul(Lam, s_at), 0)
+        db = self._mul(d, self._inv(b))
+        d_nz = (d != 0) & active
+        newLam = jnp.where(d_nz, Lam ^ self._mul(Bs, db), Lam)
+        grow = d_nz & (2 * (Llen - f) <= (i - f))
+        base = jnp.where(grow, Lam, Bs)
+        newBs = jnp.where(active,
+                          jnp.concatenate([jnp.zeros(1, jnp.int32), base[:-1]]),
+                          Bs)
+        newLlen = jnp.where(grow, i + 1 - (Llen - f), Llen)
+        newb = jnp.where(grow, d, b)
+        return (newLam, newBs, newLlen, newb), None
+
+    # Bs starts as x * Gamma (the pre-shifted-B invariant seeded with Gamma).
+    Bs0 = jnp.concatenate([jnp.zeros(1, jnp.int32), Gamma[:-1]])
+    (Lam, _, Llen, _), _ = jax.lax.scan(
+        bm_step, (Gamma, Bs0, f.astype(jnp.int32), jnp.int32(1)),
+        jnp.arange(nroots))
+
+    jpos = jnp.arange(N)
+    Xj_pow = (self.gap * jpos) % 255
+    Xinv_pow = (255 - Xj_pow) % 255
+    lam_at = self._eval_at_pows(Lam, Xinv_pow)
+    is_err = lam_at == 0
+
+    def omega_coef(k):
+        a_idx = jnp.arange(L)
+        b_idx = k - a_idx
+        valid = (b_idx >= 0) & (b_idx < nroots)
+        terms = jnp.where(valid, self._mul(Lam, synd[jnp.clip(b_idx, 0, nroots - 1)]), 0)
+        return _xor_reduce(terms, 0)
+
+    Omega = jax.vmap(omega_coef)(jnp.arange(nroots))
+    jj = jnp.arange(L)
+    dLam = jnp.where((jj % 2) == 1, Lam, 0)
+    dLam = jnp.concatenate([dLam[1:], jnp.zeros(1, jnp.int32)])
+    om_at = self._eval_at_pows(Omega, Xinv_pow)
+    dl_at = self._eval_at_pows(dLam, Xinv_pow)
+    corr_pow = (((1 - self.fcr) % 255) * Xj_pow) % 255
+    num = self._mul(om_at, exp[corr_pow])
+    ej = jnp.where(is_err & (dl_at != 0), self._mul(num, self._inv(dl_at)), 0)
+    corrections = jnp.zeros(N, jnp.int32).at[N - 1 - jpos].set(ej)
+    corrected = jnp.where(no_errors, r, r ^ corrections)
+    synd2, _ = jax.lax.scan(lambda acc, c: (self._mul(acc, roots) ^ c, None),
+                            jnp.zeros(nroots, jnp.int32), corrected)
+    ok = jnp.all(synd2 == 0)
+    return corrected[: self.msg_len].astype(jnp.uint8), ok
+
+
+ReedSolomon.decode_with_erasures = _rs_decode_with_erasures
+del _rs_decode_with_erasures

@@ -111,3 +111,56 @@ def test_server_rejects_second_client():
     finally:
         c1.close()
         srv.close()
+
+
+def test_rtl_tcp_source_against_mock_server():
+    import socket as socket_mod
+    import struct
+    import threading
+
+    from sdrpp_tpu.io.rtl_tcp import RtlTcpSource
+
+    received_cmds = []
+    srv = socket_mod.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    n_samples = 4096
+    rng = np.random.default_rng(3)
+    iq_u8 = rng.integers(0, 256, 2 * n_samples).astype(np.uint8)
+
+    def server():
+        conn, _ = srv.accept()
+        conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))  # R820T, 29 gains
+        conn.settimeout(5.0)
+        # Collect commands while streaming IQ.
+        conn.sendall(iq_u8.tobytes())
+        try:
+            while True:
+                data = conn.recv(5)
+                if len(data) < 5:
+                    break
+                received_cmds.append(struct.unpack(">BI", data))
+        except OSError:
+            pass
+        conn.close()
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    src = RtlTcpSource("127.0.0.1", port, samplerate=2400000.0)
+    try:
+        assert src.magic == b"RTL0"
+        assert src.tuner_type == 5 and src.tuner_gain_count == 29
+        src.tune(100e6)
+        src.set_gain_mode(True)
+        src.set_gain(496)
+        iq = src.read(n_samples)
+        assert iq.shape == (n_samples,)
+        want = (iq_u8.astype(np.float32) - 128.0) / 128.0
+        np.testing.assert_allclose(iq.view(np.float32), want, atol=1e-6)
+    finally:
+        src.close()
+        srv.close()
+    t.join(timeout=5)
+    # samplerate command sent at connect + our three commands
+    assert (2, 2400000) in received_cmds
+    assert (1, 100000000) in received_cmds
+    assert (3, 1) in received_cmds and (4, 496) in received_cmds

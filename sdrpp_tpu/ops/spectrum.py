@@ -90,9 +90,14 @@ def fft_zoom(line_db: jax.Array, offset: int, width: int, out_width: int) -> jax
     if width % out_width == 0:
         factor = width // out_width
         return jnp.max(seg.reshape(*seg.shape[:-1], out_width, factor), axis=-1)
-    # Uneven zoom: host-computed bin boundaries, segment max via cummax trick.
-    bounds = np.linspace(0, width, out_width + 1).astype(np.int32)
-    outs = []
-    for i in range(out_width):
-        outs.append(jnp.max(seg[..., bounds[i]: max(bounds[i + 1], bounds[i] + 1)], axis=-1))
-    return jnp.stack(outs, axis=-1)
+    # Uneven zoom: host-computed pixel assignment + segment max (one
+    # vectorized op; the per-pixel Python loop would build an O(out_width)
+    # graph for display-sized zooms).
+    pixel = (np.arange(width, dtype=np.int64) * out_width // width).astype(np.int32)
+    if seg.ndim == 1:
+        return jax.ops.segment_max(seg, jnp.asarray(pixel),
+                                   num_segments=out_width)
+    flat = seg.reshape(-1, width)
+    out = jax.vmap(lambda row: jax.ops.segment_max(
+        row, jnp.asarray(pixel), num_segments=out_width))(flat)
+    return out.reshape(*seg.shape[:-1], out_width)

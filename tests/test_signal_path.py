@@ -190,3 +190,15 @@ def test_receiver_retune_preserves_config():
     assert chan.mode == "nfm"
     assert chan.squelch is not None  # squelch survived the retune
     rx.run(1)
+
+
+def test_fft_zoom_uneven():
+    from sdrpp_tpu.ops.spectrum import fft_zoom
+    line = jnp.asarray(np.arange(1000, dtype=np.float32))
+    z = np.asarray(fft_zoom(line, 0, 1000, 128))  # 1000/128 uneven
+    assert z.shape == (128,)
+    # Each output is the max of its span; spans partition [0, 1000).
+    pixel = (np.arange(1000) * 128 // 1000)
+    want = np.array([np.arange(1000)[pixel == p].max() for p in range(128)],
+                    np.float32)
+    np.testing.assert_array_equal(z, want)

@@ -93,3 +93,52 @@ class SinkManager:
     def close(self):
         for s in self._streams.values():
             s["provider"].close()
+
+
+class NetworkSink:
+    """UDP/TCP PCM16 audio streaming sink
+    (reference: sink_modules/network_sink/src/main.cpp:59-246 — samples
+    scaled by 32768 to int16, mono or interleaved stereo, 512-sample
+    packets via a Packer)."""
+
+    def __init__(self, host: str, port: int, protocol: str = "udp",
+                 stereo: bool = False, packet_samples: int = 512):
+        import socket as _socket
+
+        self.stereo = stereo
+        self.packet_samples = int(packet_samples)
+        self._partial = np.zeros((0, 2) if stereo else (0,), np.float32)
+        if protocol == "udp":
+            self._sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+            self._dest = (host, port)
+            self._stream = False
+        elif protocol == "tcp":
+            self._sock = _socket.create_connection((host, port))
+            self._dest = None
+            self._stream = True
+        else:
+            raise ValueError(protocol)
+
+    def write(self, audio: np.ndarray):
+        audio = np.asarray(audio, np.float32)
+        if self.stereo and audio.ndim == 1:
+            audio = np.stack([audio, audio], -1)
+        if not self.stereo and audio.ndim == 2:
+            audio = audio.mean(axis=-1)
+        buf = np.concatenate([self._partial, audio])
+        ps = self.packet_samples
+        n_pkts = len(buf) // ps
+        for k in range(n_pkts):
+            pkt = buf[k * ps:(k + 1) * ps]
+            pcm = np.clip(pkt * 32768.0, -32768, 32767).astype("<i2").tobytes()
+            if self._stream:
+                self._sock.sendall(pcm)
+            else:
+                self._sock.sendto(pcm, self._dest)
+        self._partial = buf[n_pkts * ps:]
+
+    def close(self):
+        try:
+            self._sock.close()
+        except OSError:
+            pass

@@ -164,3 +164,29 @@ def test_rtl_tcp_source_against_mock_server():
     assert (2, 2400000) in received_cmds
     assert (1, 100000000) in received_cmds
     assert (3, 1) in received_cmds and (4, 496) in received_cmds
+
+
+def test_network_sink_udp_pcm16():
+    import socket as socket_mod
+
+    from sdrpp_tpu.io.sinks import NetworkSink
+
+    rx = socket_mod.socket(socket_mod.AF_INET, socket_mod.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(5.0)
+    port = rx.getsockname()[1]
+    sink = NetworkSink("127.0.0.1", port, "udp", stereo=False,
+                       packet_samples=256)
+    try:
+        audio = np.linspace(-0.5, 0.5, 600).astype(np.float32)
+        sink.write(audio)  # 600 samples -> 2 packets of 256, 88 carried
+        pkts = [rx.recv(4096), rx.recv(4096)]
+        got = np.frombuffer(b"".join(pkts), "<i2").astype(np.float32) / 32768.0
+        np.testing.assert_allclose(got, audio[:512], atol=1e-4)
+        sink.write(audio[:200])  # 88 + 200 = 288 -> one more packet
+        pkt = rx.recv(4096)
+        got2 = np.frombuffer(pkt, "<i2").astype(np.float32) / 32768.0
+        np.testing.assert_allclose(got2[:88], audio[512:], atol=1e-4)
+    finally:
+        sink.close()
+        rx.close()

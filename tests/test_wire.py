@@ -190,3 +190,68 @@ def test_network_sink_udp_pcm16():
     finally:
         sink.close()
         rx.close()
+
+
+def test_spyserver_source_against_mock_server():
+    import socket as socket_mod
+    import struct
+    import threading
+
+    from sdrpp_tpu.io import spyserver as ss
+
+    srv = socket_mod.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    rng = np.random.default_rng(4)
+    iq16 = rng.integers(-32768, 32768, 2 * 2048).astype("<i2")
+    received = []
+
+    def server():
+        conn, _ = srv.accept()
+        conn.settimeout(5.0)
+        # Expect HELLO
+        hdr = conn.recv(8)
+        cmd, size = struct.unpack("<II", hdr)
+        body = conn.recv(size)
+        received.append((cmd, body))
+        # Send device info + client sync
+        di = struct.pack("<12I", 1, 42, 2500000, 2000000, 8, 1, 21,
+                         24000000, 1700000000, 16, 0, 0)
+        conn.sendall(struct.pack("<IIIII", ss.PROTOCOL_VERSION,
+                                 ss.MSG_DEVICE_INFO, 0, 0, len(di)) + di)
+        cs = struct.pack("<9I", 1, 10, 100000000, 100000000, 100000000,
+                         24000000, 1700000000, 24000000, 1700000000)
+        conn.sendall(struct.pack("<IIIII", ss.PROTOCOL_VERSION,
+                                 ss.MSG_CLIENT_SYNC, 0, 1, len(cs)) + cs)
+        # Read the configuration commands, then stream one INT16 IQ message.
+        for _ in range(4):
+            h = conn.recv(8)
+            if len(h) < 8:
+                break
+            c, sz = struct.unpack("<II", h)
+            received.append((c, conn.recv(sz)))
+        payload = iq16.tobytes()
+        conn.sendall(struct.pack("<IIIII", ss.PROTOCOL_VERSION,
+                                 ss.MSG_INT16_IQ, 1, 2, len(payload)) + payload)
+        try:
+            conn.recv(1)
+        except OSError:
+            pass
+        conn.close()
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    src = ss.SpyServerSource("127.0.0.1", port)
+    try:
+        assert src.device_info["MaximumSampleRate"] == 2500000
+        assert src.sync["CanControl"] == 1
+        src.tune(100e6)
+        src.start()
+        iq = src.read(2048)
+        want = iq16.astype(np.float32) / 32768.0
+        np.testing.assert_allclose(iq.view(np.float32), want, atol=1e-6)
+    finally:
+        src.close()
+        srv.close()
+    t.join(timeout=5)
+    assert received[0][0] == ss.CMD_HELLO
+    assert received[0][1][:4] == struct.pack("<I", ss.PROTOCOL_VERSION)

@@ -23,7 +23,9 @@ from .utils import log
 
 def _add_source_args(p):
     p.add_argument("--source", required=True,
-                   help="IQ WAV path, or 'test:<samplerate>' for the test source")
+                   help="IQ WAV path, 'test:<samplerate>', "
+                        "'rtltcp:<host>:<port>[:<samplerate>]', or "
+                        "'spyserver:<host>:<port>'")
     p.add_argument("--tone", type=float, default=100000.0,
                    help="test source tone offset Hz")
 
@@ -31,10 +33,22 @@ def _add_source_args(p):
 def _make_source(args):
     from .io.sources import FileSource, TestSource
 
-    if args.source.startswith("test:"):
-        fs = float(args.source.split(":", 1)[1])
+    src = args.source
+    if src.startswith("test:"):
+        fs = float(src.split(":", 1)[1])
         return TestSource(fs, tones=[(args.tone, -20.0)], noise_dbfs=-90.0)
-    return FileSource(args.source, loop=False)
+    if src.startswith("rtltcp:"):
+        from .io.rtl_tcp import RtlTcpSource
+        parts = src.split(":")
+        sr = float(parts[3]) if len(parts) > 3 else 2400000.0
+        return RtlTcpSource(parts[1], int(parts[2]), samplerate=sr)
+    if src.startswith("spyserver:"):
+        from .io.spyserver import SpyServerSource
+        parts = src.split(":")
+        s = SpyServerSource(parts[1], int(parts[2]))
+        s.start()
+        return s
+    return FileSource(src, loop=False)
 
 
 def cmd_run(argv):

@@ -255,3 +255,66 @@ def test_spyserver_source_against_mock_server():
     t.join(timeout=5)
     assert received[0][0] == ss.CMD_HELLO
     assert received[0][1][:4] == struct.pack("<I", ss.PROTOCOL_VERSION)
+
+
+def test_kiwisdr_source_against_mock_server():
+    import threading
+
+    pytest.importorskip("websockets")
+    from websockets.sync.server import serve
+
+    from sdrpp_tpu.io.kiwisdr import IQ_HEADER_SIZE, KiwiSDRSource, parse_snd_iq
+
+    rng = np.random.default_rng(5)
+    iq16 = rng.integers(-32768, 32768, 1024).astype(">i2")
+    received_texts = []
+    ready = threading.Event()
+    port_holder = {}
+
+    def handler(ws):
+        # Collect the control sequence until the tune command, then stream.
+        while True:
+            m = ws.recv()
+            received_texts.append(m)
+            if isinstance(m, str) and m.startswith("SET keepalive"):
+                break
+        snd = b"SND" + bytes([0x08]) + b"\x00" * (IQ_HEADER_SIZE - 4) \
+            + iq16.tobytes()
+        ws.send(b"MSG audio_init=0")  # non-SND frame must be ignored
+        ws.send(snd)
+        ws.send(snd)
+        # keep the socket open briefly for the client to finish
+        try:
+            ws.recv(timeout=2)
+        except Exception:
+            pass
+
+    def run_server():
+        with serve(handler, "127.0.0.1", 0) as server:
+            port_holder["port"] = server.socket.getsockname()[1] \
+                if hasattr(server, "socket") else \
+                list(server.sockets)[0].getsockname()[1]
+            ready.set()
+            server.serve_forever()
+
+    t = threading.Thread(target=run_server, daemon=True)
+    t.start()
+    assert ready.wait(5)
+    src = KiwiSDRSource("127.0.0.1", port_holder["port"], freq_hz=7074000.0)
+    try:
+        iq = src.read(1024)  # two 512-sample frames
+        want = np.tile(iq16.astype(np.float32) / 32768.0, 2)
+        np.testing.assert_allclose(iq.view(np.float32).reshape(-1), want,
+                                   atol=1e-6)
+    finally:
+        src.close()
+    assert any(isinstance(m, str) and m.startswith("SET auth t=kiwi")
+               for m in received_texts)
+    assert any(isinstance(m, str) and "mod=iq" in m and "freq=7074.000" in m
+               for m in received_texts)
+
+
+def test_parse_snd_iq_rejects_non_iq():
+    from sdrpp_tpu.io.kiwisdr import parse_snd_iq
+    assert parse_snd_iq(b"MSG hello") is None
+    assert parse_snd_iq(b"SND" + bytes([0x00]) + b"\x00" * 100) is None

@@ -151,3 +151,101 @@ def write_wav(path, samplerate: int, data: np.ndarray, sample_format: str = "i16
                                  int(byte_rate), block_align, bits)
     hdr += b"data" + struct.pack("<I", len(payload))
     Path(path).write_bytes(hdr + payload)
+
+
+class WavStreamReader:
+    """Streaming IQ reader over a memory-mapped WAV data chunk.
+
+    The simple reader above decodes the whole file up front; for
+    multi-gigabyte captures (SURVEY §7 hard part: host ingest at GB/s) this
+    reader memory-maps the data chunk and converts per-chunk on demand —
+    through the native C++ converters (utils/native) when available.
+    """
+
+    def __init__(self, path):
+        import mmap
+
+        self.path = Path(path)
+        self._f = open(self.path, "rb")
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        blob = self._mm
+        if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos = 12
+        self.info = None
+        self._data_off = self._data_len = None
+        while pos + 8 <= len(blob):
+            cid = blob[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", blob, pos + 4)
+            if cid == b"fmt ":
+                fmt, channels, rate = struct.unpack_from("<HHI", blob, pos + 8)
+                (bits,) = struct.unpack_from("<H", blob, pos + 8 + 14)
+                if fmt == WAVE_FORMAT_EXTENSIBLE:
+                    (fmt,) = struct.unpack_from("<H", blob, pos + 8 + 24)
+                self.info = WavInfo(rate, channels, bits, fmt)
+            elif cid == b"data":
+                self._data_off = pos + 8
+                self._data_len = min(size, len(blob) - pos - 8)
+            pos += 8 + size + (size & 1)
+        if self.info is None or self._data_off is None:
+            raise ValueError("missing fmt/data chunk")
+        self.samplerate = float(self.info.samplerate)
+        self._frame_bytes = self.info.channels * self.info.bits // 8
+        self.num_frames = self._data_len // self._frame_bytes
+        self.pos = 0
+
+    def seek(self, frame: int):
+        self.pos = int(frame) % max(self.num_frames, 1)
+
+    def read(self, n: int, loop: bool = True) -> np.ndarray:
+        """Read n frames as complex64 IQ (mono duplicates I)."""
+        out = np.empty(n, np.complex64)
+        got = 0
+        while got < n:
+            take = min(n - got, self.num_frames - self.pos)
+            if take <= 0:
+                if not loop:
+                    out[got:] = 0
+                    break
+                self.pos = 0
+                continue
+            start = self._data_off + self.pos * self._frame_bytes
+            raw = self._mm[start : start + take * self._frame_bytes]
+            out[got : got + take] = self._convert(raw, take)
+            got += take
+            self.pos += take
+            if self.pos >= self.num_frames and loop:
+                self.pos = 0
+        return out
+
+    def _convert(self, raw: bytes, frames: int) -> np.ndarray:
+        info = self.info
+        try:
+            from ..utils import native
+            lib = native.load()
+        except Exception:
+            lib = None
+        if lib is not None:
+            buf = np.frombuffer(raw, np.uint8)
+            out = np.empty(2 * frames, np.float32)
+            fn = {
+                (WAVE_FORMAT_PCM, 8): lib.conv_pcm8_iq,
+                (WAVE_FORMAT_PCM, 16): lib.conv_pcm16_iq,
+                (WAVE_FORMAT_PCM, 24): lib.conv_pcm24_iq,
+                (WAVE_FORMAT_PCM, 32): lib.conv_pcm32_iq,
+                (WAVE_FORMAT_IEEE_FLOAT, 32): lib.conv_f32_iq,
+                (WAVE_FORMAT_IEEE_FLOAT, 64): lib.conv_f64_iq,
+            }.get((info.format, info.bits))
+            if fn is not None:
+                fn(buf.ctypes.data, out.ctypes.data, frames, info.channels)
+                return out.view(np.complex64)
+        data = _decode_samples(raw, info.format, info.bits, info.channels)
+        if info.channels == 1:
+            i = q = data[:, 0]
+        else:
+            i, q = data[:, 0], data[:, 1]
+        return (i + 1j * q).astype(np.complex64)
+
+    def close(self):
+        self._mm.close()
+        self._f.close()

@@ -123,3 +123,26 @@ def test_raw_mode_passes_iq_as_stereo():
     freqs = np.fft.fftfreq(len(spec), 1 / 48000.0)
     # 21 kHz mixed by -20 kHz -> 1 kHz complex tone in the stereo I/Q out
     assert abs(freqs[np.argmax(spec)] - 1000.0) < 30.0
+
+
+@pytest.mark.parametrize("fmt", ["u8", "i16", "i24", "f32"])
+def test_wav_stream_reader_matches_batch(tmp_path, fmt):
+    from sdrpp_tpu.io.wav import WavStreamReader, read_wav_iq, write_wav
+    rng = np.random.default_rng(10)
+    iq = (0.5 * (rng.standard_normal(5000) + 1j * rng.standard_normal(5000))
+          ).clip(-1, 1).astype(np.complex64)
+    p = tmp_path / f"s_{fmt}.wav"
+    write_wav(p, 48000, np.stack([iq.real, iq.imag], -1), fmt)
+    fs, whole = read_wav_iq(p)
+    r = WavStreamReader(p)
+    assert r.samplerate == 48000 and r.num_frames == 5000
+    chunks = [r.read(1234, loop=False) for _ in range(5)]
+    got = np.concatenate(chunks)[:5000]
+    np.testing.assert_allclose(got.real, whole.real, atol=2e-6)
+    np.testing.assert_allclose(got.imag, whole.imag, atol=2e-6)
+    # looping wraps to the start
+    r.seek(4990)
+    wrap = r.read(20)
+    np.testing.assert_allclose(wrap[:10].real, whole[4990:].real, atol=2e-6)
+    np.testing.assert_allclose(wrap[10:].real, whole[:10].real, atol=2e-6)
+    r.close()

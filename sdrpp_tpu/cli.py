@@ -84,7 +84,7 @@ def cmd_run(argv):
         n_total = 0
         chunks = []
         block = args.block_size
-        src_len = len(getattr(src, "iq", [])) or None
+        src_len = getattr(src, "num_frames", None)
         nblocks = 0
         while args.blocks == 0 or nblocks < args.blocks:
             if src_len is not None and n_total + block > src_len:
@@ -124,7 +124,7 @@ def cmd_run(argv):
     sink = WavSink(args.out, int(args.audio_rate))
     total = 0
     nblocks = 0
-    src_len = len(getattr(src, "iq", [])) or None
+    src_len = getattr(src, "num_frames", None)
     while args.blocks == 0 or nblocks < args.blocks:
         if src_len is not None and offset + block > src_len:
             break

@@ -39,34 +39,31 @@ def detect_center_freq(filename: str) -> float | None:
 
 
 class FileSource:
-    """WAV IQ playback with loop + seek (reference file_source)."""
+    """WAV IQ playback with loop + seek (reference file_source).
+
+    Backed by the memory-mapped streaming reader + native converters, so
+    multi-gigabyte captures stream without being decoded up front."""
 
     def __init__(self, path, loop: bool = True):
         self.path = str(path)
-        self.samplerate, self.iq = wav.read_wav_iq(path)
+        self._reader = wav.WavStreamReader(path)
+        self.samplerate = self._reader.samplerate
+        self.num_frames = self._reader.num_frames
         self.loop = loop
-        self.pos = 0
         self.center_freq = detect_center_freq(self.path) or 0.0
 
+    @property
+    def pos(self):
+        return self._reader.pos
+
     def seek(self, sample: int):
-        self.pos = int(sample) % len(self.iq)
+        self._reader.seek(sample)
 
     def tune(self, freq: float):
         self.center_freq = freq
 
     def read(self, n: int) -> np.ndarray:
-        out = np.zeros(n, np.complex64)
-        got = 0
-        while got < n:
-            chunk = self.iq[self.pos : self.pos + (n - got)]
-            out[got : got + len(chunk)] = chunk
-            got += len(chunk)
-            self.pos += len(chunk)
-            if self.pos >= len(self.iq):
-                if not self.loop:
-                    break
-                self.pos = 0
-        return out
+        return self._reader.read(n, loop=self.loop)
 
 
 class TestSource:

@@ -88,7 +88,7 @@ def main():
     cal = None
     for attempt in range(2):
         try:
-            with _deadline(180):
+            with _deadline(480):
                 cal = calibrate_sync(size=1024 if use_cpu else 2048, iters=8)
         except TimeoutError:
             _cpu_fallback("tpu calibration timed out")
@@ -129,26 +129,40 @@ def main():
         return (vs, qs, fs), jnp.sum(y[..., -2:].astype(jnp.float32))
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.standard_normal(n) + 1j * rng.standard_normal(n))
-                    .astype(np.complex64))
+    x_host = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) \
+        .astype(np.complex64)
+    x = None
+    for attempt in range(4):
+        try:
+            x = jnp.asarray(x_host)
+            break
+        except Exception:
+            time.sleep(5.0 * (attempt + 1))
+    if x is None:
+        _cpu_fallback("tpu H2D transfer failed")
+        return
 
     make_state = jax.jit(lambda d: (vfo.init_state(), demod.init_state(),
                                     audio_fir.init_state()))
     state = None
-    for attempt in range(3):  # axon tunnel can be transiently flaky
+    for attempt in range(4):  # axon tunnel can be transiently flaky
         try:
             state = make_state(np.float32(0))
             break
         except Exception:
-            time.sleep(2.0)
+            time.sleep(5.0 * (attempt + 1))
     if state is None:
         # Fallback: every carried state in this chain is zeros by
         # construction (FIR tails, NCO phases, quadrature carry), so
         # materialize them host-side and transfer (the reliable path).
-        shapes = jax.eval_shape(lambda: (vfo.init_state(), demod.init_state(),
-                                         audio_fir.init_state()))
-        state = jax.tree_util.tree_map(
-            lambda sd: jnp.asarray(np.zeros(sd.shape, sd.dtype)), shapes)
+        try:
+            shapes = jax.eval_shape(lambda: (vfo.init_state(), demod.init_state(),
+                                             audio_fir.init_state()))
+            state = jax.tree_util.tree_map(
+                lambda sd: jnp.asarray(np.zeros(sd.shape, sd.dtype)), shapes)
+        except Exception as e:
+            _cpu_fallback(f"tpu state init failed: {type(e).__name__}")
+            return
 
     def run(iters):
         t0 = time.perf_counter()
@@ -159,7 +173,7 @@ def main():
         return time.perf_counter() - t0
 
     try:
-        with _deadline(240):
+        with _deadline(480):
             run(1)  # compile + warm
             t1 = run(1)
             iters = 16
@@ -184,4 +198,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # last-ditch: the driver must always get a JSON line
+        _fail(f"unhandled {type(e).__name__}: {e}")

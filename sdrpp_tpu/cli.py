@@ -60,6 +60,8 @@ def cmd_run(argv):
     p.add_argument("--bandwidth", type=float, default=None)
     p.add_argument("--audio-rate", type=float, default=48000.0)
     p.add_argument("--out", default="audio.wav")
+    p.add_argument("--container", default="wav", choices=["wav", "flac", "mp3"],
+                   help="recording container (the recorder's WAV/FLAC/MP3)")
     p.add_argument("--blocks", type=int, default=0, help="0 = until EOF")
     p.add_argument("--block-size", type=int, default=262144)
     p.add_argument("--squelch", type=float, default=None)
@@ -71,7 +73,7 @@ def cmd_run(argv):
     import jax.numpy as jnp
     import jax
 
-    from .io.sinks import WavSink
+    from .io.sinks import RecorderSink
     from .models.radio import RadioChannel
     from .utils.checkpoint import load_state, save_state
 
@@ -121,7 +123,9 @@ def cmd_run(argv):
         log.info(f"resumed from {args.checkpoint} at sample {offset}")
 
     step = jax.jit(chan)
-    sink = WavSink(args.out, int(args.audio_rate))
+    sink = RecorderSink(args.out, int(args.audio_rate),
+                        container=args.container,
+                        channels=2 if chan.stereo_out else 1)
     total = 0
     nblocks = 0
     src_len = getattr(src, "num_frames", None)

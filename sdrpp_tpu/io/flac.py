@@ -1,0 +1,553 @@
+"""Pure-Python FLAC encoder/decoder for the recorder's FLAC container.
+
+The reference recorder offers WAV/FLAC/MP3 containers
+(misc_modules/recorder/src/main.cpp:48-60) and encodes FLAC through
+libFLAC with default settings, integer sample formats only
+(core/src/utils/wav.cpp:94-114). libFLAC is not in this image, so this is
+a from-scratch spec-compliant implementation (fixed predictors +
+partitioned Rice coding — the format's "fixed" subset every decoder must
+support):
+
+- stream:     "fLaC" magic + STREAMINFO metadata block (RFC 9639 §8.2)
+- frames:     14-bit sync, fixed-blocksize strategy, UTF-8-coded frame
+              number, CRC-8 header / CRC-16 frame trailers
+- subframes:  CONSTANT / VERBATIM / FIXED order 0-4, independent channels
+- residuals:  partitioned Rice (method 0, 4-bit parameter, escape code)
+
+The encoder picks the best fixed predictor order per channel per frame by
+minimal total residual magnitude (the same heuristic libFLAC's fast preset
+uses) and writes a correct MD5 of the unencoded samples into STREAMINFO so
+`flac -t` style integrity checks pass.
+
+Not implemented (not needed for the recorder): LPC subframes on encode
+(decoder handles fixed subset only), stereo decorrelation, variable block
+size. Any spec decoder reads these files; this decoder reads only what the
+encoder emits (plus CONSTANT/VERBATIM) and verifies both CRCs + MD5.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["FlacWriter", "read_flac", "FlacInfo"]
+
+
+# ---------------------------------------------------------------- bit I/O
+
+class _BitWriter:
+    def __init__(self):
+        self._buf = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int):
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self._buf.append((self._acc >> self._nbits) & 0xFF)
+        self._acc &= (1 << self._nbits) - 1
+
+    def write_signed(self, value: int, nbits: int):
+        self.write(value & ((1 << nbits) - 1), nbits)
+
+    def write_unary(self, q: int):
+        # FLAC unary: q zero bits terminated by a one bit (RFC 9639 §9.2.7.1)
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self):
+        if self._nbits:
+            self.write(0, 8 - self._nbits)
+
+    def getvalue(self) -> bytes:
+        assert self._nbits == 0
+        return bytes(self._buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self._d = data
+        self.pos = pos_bits
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        p = self.pos
+        d = self._d
+        for _ in range(nbits):
+            v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return v
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        if v >= 1 << (nbits - 1):
+            v -= 1 << nbits
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self):
+        self.pos = (self.pos + 7) & ~7
+
+
+# ------------------------------------------------------------------ CRCs
+
+def _make_crc8_table():
+    t = []
+    for b in range(256):
+        c = b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t.append(c)
+    return t
+
+
+def _make_crc16_table():
+    t = []
+    for b in range(256):
+        c = b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        t.append(c)
+    return t
+
+
+_CRC8 = _make_crc8_table()
+_CRC16 = _make_crc16_table()
+
+
+def crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC8[c ^ b]
+    return c
+
+
+def crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC16[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+def _utf8_code(n: int) -> bytes:
+    """FLAC's extended UTF-8 coding of the frame number (RFC 9639 §9.1.5)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    for total in range(2, 8):
+        if n < 1 << (total * 5 + 1):
+            lead = (0xFF << (8 - total)) & 0xFF
+            out.append(lead | (n >> (6 * (total - 1))))
+            for i in range(total - 2, -1, -1):
+                out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number too large")
+
+
+def _read_utf8_code(br: _BitReader) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nb = 0
+    mask = 0x40
+    while b0 & mask:
+        nb += 1
+        mask >>= 1
+    v = b0 & (mask - 1)
+    for _ in range(nb):
+        v = (v << 6) | (br.read(8) & 0x3F)
+    return v
+
+
+_SAMPLE_SIZE_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101,
+                     24: 0b110, 32: 0b111}
+_SAMPLE_SIZE_FROM_CODE = {v: k for k, v in _SAMPLE_SIZE_CODE.items()}
+
+
+def _fixed_residuals(x: np.ndarray, max_order: int):
+    """Residual series for fixed predictors order 0..max_order.
+
+    Order-k residual = k-th finite difference (the FLAC fixed predictors
+    are exactly polynomial predictors; RFC 9639 §9.2.5)."""
+    res = [x.astype(np.int64)]
+    for _ in range(max_order):
+        res.append(np.diff(res[-1]))
+    return res
+
+
+def _rice_param(partition: np.ndarray) -> int:
+    """Smallest-cost Rice parameter estimate (libFLAC-style mean log2)."""
+    n = len(partition)
+    if n == 0:
+        return 0
+    total = int(np.sum(partition))  # already folded (unsigned)
+    k = 0
+    while (n << (k + 1)) < total and k < 14:
+        k += 1
+    return k
+
+
+def _zigzag(r: np.ndarray) -> np.ndarray:
+    return np.where(r >= 0, r.astype(np.int64) << 1, (-r.astype(np.int64) << 1) - 1)
+
+
+class FlacWriter:
+    """Streaming FLAC file writer (integer PCM, independent channels).
+
+    write() takes float arrays in [-1, 1] (like WavSink) or integer arrays
+    already quantized to ``bits``. STREAMINFO (total samples, MD5,
+    min/max frame size) is patched on close().
+    """
+
+    def __init__(self, path, samplerate: int, channels: int = 2,
+                 bits: int = 16, block_size: int = 4096):
+        if bits not in _SAMPLE_SIZE_CODE:
+            raise ValueError(f"unsupported bit depth {bits}")
+        if not 1 <= channels <= 8:
+            raise ValueError("1..8 channels")
+        self.path = Path(path)
+        self.samplerate = int(samplerate)
+        self.channels = channels
+        self.bits = bits
+        self.block_size = block_size
+        self._f = open(self.path, "wb")
+        self._md5 = hashlib.md5()
+        self._pending = np.zeros((0, channels), np.int64)
+        self._frame_no = 0
+        self._total = 0
+        self._min_fr = 0xFFFFFF
+        self._max_fr = 0
+        self._write_header()
+
+    # -- header ----------------------------------------------------------
+    def _write_header(self):
+        f = self._f
+        f.write(b"fLaC")
+        # STREAMINFO placeholder; patched in close()
+        f.write(bytes([0x80, 0, 0, 34]))  # last-metadata-block, type 0, len 34
+        self._streaminfo_pos = f.tell()
+        f.write(self._streaminfo(0, b"\x00" * 16))
+
+    def _streaminfo(self, total_samples: int, md5: bytes) -> bytes:
+        bw = _BitWriter()
+        bw.write(self.block_size, 16)   # min block size
+        bw.write(self.block_size, 16)   # max block size
+        mn = 0 if self._min_fr == 0xFFFFFF else self._min_fr
+        bw.write(mn, 24)
+        bw.write(self._max_fr, 24)
+        bw.write(self.samplerate, 20)
+        bw.write(self.channels - 1, 3)
+        bw.write(self.bits - 1, 5)
+        bw.write(total_samples, 36)
+        bw.align()
+        return bw.getvalue() + md5
+
+    # -- encode ----------------------------------------------------------
+    def write(self, samples: np.ndarray):
+        samples = np.asarray(samples)
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        if samples.shape[1] != self.channels:
+            raise ValueError(f"expected {self.channels} channels")
+        if np.issubdtype(samples.dtype, np.floating):
+            full = float(1 << (self.bits - 1))
+            samples = np.clip(np.rint(samples.astype(np.float64) * full),
+                              -full, full - 1).astype(np.int64)
+        else:
+            samples = samples.astype(np.int64)
+        self._pending = np.concatenate([self._pending, samples], axis=0)
+        while len(self._pending) >= self.block_size:
+            blk, self._pending = (self._pending[: self.block_size],
+                                  self._pending[self.block_size:])
+            self._emit_frame(blk)
+
+    def _emit_frame(self, blk: np.ndarray):
+        n = len(blk)
+        bw = _BitWriter()
+        bw.write(0b11111111111110, 14)  # sync
+        bw.write(0, 1)                  # reserved
+        bw.write(0, 1)                  # fixed-blocksize strategy
+        bs_code = 0b0110 if n <= 256 else 0b0111
+        bw.write(bs_code, 4)
+        bw.write(0b0000, 4)             # sample rate: from STREAMINFO
+        bw.write(self.channels - 1, 4)  # independent channels
+        bw.write(_SAMPLE_SIZE_CODE[self.bits], 3)
+        bw.write(0, 1)                  # reserved
+        for b in _utf8_code(self._frame_no):
+            bw.write(b, 8)
+        if bs_code == 0b0110:
+            bw.write(n - 1, 8)
+        else:
+            bw.write(n - 1, 16)
+        bw.align()
+        hdr = bw.getvalue()
+        bw = _BitWriter()
+        for b in hdr:
+            bw.write(b, 8)
+        bw.write(crc8(hdr), 8)
+
+        for ch in range(self.channels):
+            self._emit_subframe(bw, blk[:, ch])
+
+        bw.align()
+        body = bw.getvalue()
+        frame = body + struct.pack(">H", crc16(body))
+        self._f.write(frame)
+        self._min_fr = min(self._min_fr, len(frame))
+        self._max_fr = max(self._max_fr, len(frame))
+        self._frame_no += 1
+        self._total += n
+        # MD5 over little-endian signed samples, interleaved (RFC 9639 §8.2)
+        width = self.bits // 8
+        le = blk.reshape(-1).astype(np.int64)
+        raw = np.zeros((len(le), width), np.uint8)
+        for i in range(width):
+            raw[:, i] = (le >> (8 * i)) & 0xFF
+        self._md5.update(raw.tobytes())
+
+    def _emit_subframe(self, bw: _BitWriter, x: np.ndarray):
+        n = len(x)
+        bits = self.bits
+        if np.all(x == x[0]):
+            bw.write(0, 1)
+            bw.write(0b000000, 6)  # CONSTANT
+            bw.write(0, 1)
+            bw.write_signed(int(x[0]), bits)
+            return
+        max_order = min(4, n - 1)
+        res = _fixed_residuals(x, max_order)
+        # order-k residuals can exceed int ranges Rice handles well for very
+        # hot 32-bit input; fall back to VERBATIM if any fold would be huge
+        costs = [int(np.sum(np.abs(r))) + (o + 1) for o, r in enumerate(res)]
+        order = int(np.argmin(costs))
+        r = res[order]
+        if len(r) and int(np.max(np.abs(r))) >= 1 << 30:
+            bw.write(0, 1)
+            bw.write(0b000001, 6)  # VERBATIM
+            bw.write(0, 1)
+            for v in x:
+                bw.write_signed(int(v), bits)
+            return
+        bw.write(0, 1)
+        bw.write(0b001000 | order, 6)  # FIXED
+        bw.write(0, 1)                 # no wasted bits
+        for v in x[:order]:
+            bw.write_signed(int(v), bits)
+        folded = _zigzag(r)
+        bw.write(0b00, 2)   # residual method: 4-bit Rice
+        bw.write(0, 4)      # partition order 0
+        k = _rice_param(folded)
+        # escape to raw if unary parts would blow up
+        max_fold = int(np.max(folded)) if len(folded) else 0
+        if k >= 15 or (max_fold >> k) > 1 << 16:
+            rawbits = max(1, int(max_fold).bit_length() + 1)
+            bw.write(0b1111, 4)
+            bw.write(rawbits, 5)
+            for v in r:
+                bw.write_signed(int(v), rawbits)
+        else:
+            bw.write(k, 4)
+            for u in folded:
+                u = int(u)
+                bw.write_unary(u >> k)
+                bw.write(u, k)
+
+    def close(self):
+        if self._f.closed:
+            return
+        if len(self._pending):
+            self._emit_frame(self._pending)  # short last frame (allowed)
+            self._pending = self._pending[:0]
+        self._f.flush()
+        self._f.seek(self._streaminfo_pos)
+        self._f.write(self._streaminfo(self._total, self._md5.digest()))
+        self._f.close()
+
+    __enter__ = lambda self: self
+    __exit__ = lambda self, *a: self.close()
+
+
+# ---------------------------------------------------------------- decoder
+
+class FlacInfo:
+    def __init__(self, samplerate, channels, bits, total_samples, md5):
+        self.samplerate = samplerate
+        self.channels = channels
+        self.bits = bits
+        self.total_samples = total_samples
+        self.md5 = md5
+
+
+def read_flac(path, verify: bool = True):
+    """Decode a FLAC file (fixed-predictor subset) -> (FlacInfo, int32 [n, ch]).
+
+    Verifies frame CRC-8/CRC-16 and the STREAMINFO MD5 when ``verify``.
+    """
+    blob = Path(path).read_bytes()
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    info = None
+    while True:
+        hdr = blob[pos:pos + 4]
+        last = hdr[0] & 0x80
+        btype = hdr[0] & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + hdr[1:4])
+        body = blob[pos + 4: pos + 4 + blen]
+        if btype == 0:
+            br = _BitReader(body)
+            br.read(16); br.read(16); br.read(24); br.read(24)
+            rate = br.read(20)
+            ch = br.read(3) + 1
+            bits = br.read(5) + 1
+            total = br.read(36)
+            info = FlacInfo(rate, ch, bits, total, body[18:34])
+        pos += 4 + blen
+        if last:
+            break
+    if info is None:
+        raise ValueError("missing STREAMINFO")
+
+    out = []
+    md5 = hashlib.md5()
+    while pos < len(blob):
+        frame_start = pos
+        br = _BitReader(blob, pos * 8)
+        sync = br.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError(f"bad sync at byte {pos}")
+        br.read(1)
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_asgn = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)
+        _read_utf8_code(br)
+        if bs_code == 0b0110:
+            n = br.read(8) + 1
+        elif bs_code == 0b0111:
+            n = br.read(16) + 1
+        elif bs_code == 0b0001:
+            n = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            n = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            n = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved block size code")
+        if sr_code in (0b1100, 0b1101, 0b1110):
+            br.read(8 if sr_code == 0b1100 else 16)
+        hdr_end = (br.pos + 7) // 8
+        if verify and crc8(blob[frame_start:hdr_end]) != blob[hdr_end]:
+            raise ValueError("frame header CRC-8 mismatch")
+        br = _BitReader(blob, (hdr_end + 1) * 8)
+        if ch_asgn > 7:
+            raise ValueError("stereo decorrelation not supported by this decoder")
+        channels = ch_asgn + 1
+        bits = _SAMPLE_SIZE_FROM_CODE.get(ss_code, info.bits) \
+            if ss_code else info.bits
+        frame = np.zeros((n, channels), np.int64)
+        for c in range(channels):
+            frame[:, c] = _decode_subframe(br, n, bits)
+        br.align()
+        body_end = br.pos // 8
+        if verify:
+            (fcrc,) = struct.unpack_from(">H", blob, body_end)
+            if crc16(blob[frame_start:body_end]) != fcrc:
+                raise ValueError("frame CRC-16 mismatch")
+        pos = body_end + 2
+        out.append(frame)
+
+    data = (np.concatenate(out, axis=0) if out
+            else np.zeros((0, info.channels), np.int64))
+    if info.total_samples:
+        data = data[: info.total_samples]
+    if verify and info.md5 != b"\x00" * 16:
+        width = info.bits // 8
+        le = data.reshape(-1)
+        raw = np.zeros((len(le), width), np.uint8)
+        for i in range(width):
+            raw[:, i] = (le >> (8 * i)) & 0xFF
+        md5.update(raw.tobytes())
+        if md5.digest() != info.md5:
+            raise ValueError("MD5 mismatch: decoded audio is corrupt")
+    return info, data.astype(np.int32)
+
+
+def _decode_subframe(br: _BitReader, n: int, bits: int) -> np.ndarray:
+    if br.read(1) != 0:
+        raise ValueError("bad subframe padding bit")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.read_unary()
+    bits -= wasted
+    if stype == 0:  # CONSTANT
+        x = np.full(n, br.read_signed(bits), np.int64)
+    elif stype == 1:  # VERBATIM
+        x = np.array([br.read_signed(bits) for _ in range(n)], np.int64)
+    elif 8 <= stype <= 12:  # FIXED
+        order = stype - 8
+        warm = [br.read_signed(bits) for _ in range(order)]
+        r = _decode_residual(br, n, order)
+        x = _undiff(np.asarray(warm, np.int64), r, order, n)
+    else:
+        raise ValueError(f"unsupported subframe type {stype}")
+    return x << wasted
+
+
+def _undiff(warm: np.ndarray, resid: np.ndarray, order: int, n: int) -> np.ndarray:
+    """Invert order-k finite differencing given the k warmup samples.
+
+    The o-th difference series d_o satisfies d_{o-1} = cumsum of
+    [first element of d_{o-1}] ++ d_o, where that first element is the
+    (o-1)-th difference of the warmup prefix."""
+    if order == 0:
+        return resid[:n]
+    seq = resid.astype(np.int64)
+    for o in range(order, 0, -1):
+        w = warm.astype(np.int64)
+        for _ in range(o - 1):
+            w = np.diff(w)
+        seq = np.concatenate([w[:1], seq]).cumsum()
+    return seq[:n]
+
+
+def _decode_residual(br: _BitReader, n: int, order: int) -> np.ndarray:
+    method = br.read(2)
+    if method not in (0, 1):
+        raise ValueError("reserved residual method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    out = []
+    for p in range(nparts):
+        cnt = (n >> porder) - (order if p == 0 else 0)
+        k = br.read(pbits)
+        if k == escape:
+            rawbits = br.read(5)
+            out.extend(br.read_signed(rawbits) if rawbits else 0
+                       for _ in range(cnt))
+        else:
+            for _ in range(cnt):
+                q = br.read_unary()
+                u = (q << k) | br.read(k)
+                out.append((u >> 1) ^ -(u & 1))
+    return np.asarray(out, np.int64)

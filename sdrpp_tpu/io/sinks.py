@@ -12,7 +12,7 @@ import numpy as np
 
 from . import wav
 
-__all__ = ["WavSink", "BufferSink", "NullSink", "SinkManager"]
+__all__ = ["WavSink", "RecorderSink", "BufferSink", "NullSink", "SinkManager"]
 
 
 class WavSink:
@@ -32,6 +32,44 @@ class WavSink:
         data = np.concatenate(self._chunks) if self._chunks else np.zeros(0, np.float32)
         wav.write_wav(self.path, self.samplerate, data, self.sample_format)
         self._chunks = []
+
+
+class RecorderSink:
+    """Container-selectable recording sink: WAV / FLAC / MP3.
+
+    The reference recorder's container + sample-depth options
+    (misc_modules/recorder/src/main.cpp:48-60; containers WAV/FLAC/MP3,
+    FLAC restricted to integer formats, MP3 ignores the depth). FLAC is
+    the pure-Python encoder in io/flac.py; MP3 binds the system
+    libmp3lame (io/mp3.py) and raises ImportError when absent.
+    """
+
+    def __init__(self, path, samplerate: int, container: str = "wav",
+                 channels: int = 1, sample_format: str = "i16"):
+        container = container.lower()
+        self.container = container
+        if container == "wav":
+            self._sink = WavSink(path, samplerate, sample_format)
+        elif container == "flac":
+            if sample_format not in ("u8", "i16", "i24", "i32"):
+                # wav.cpp:95 FLAC requires integer sample formats
+                raise ValueError(f"FLAC needs an integer format, "
+                                 f"got {sample_format}")
+            bits = {"u8": 8, "i16": 16, "i24": 24, "i32": 32}[sample_format]
+            from .flac import FlacWriter
+            self._sink = FlacWriter(path, samplerate, channels=channels,
+                                    bits=bits)
+        elif container == "mp3":
+            from .mp3 import Mp3Writer
+            self._sink = Mp3Writer(path, samplerate, channels=channels)
+        else:
+            raise ValueError(f"unknown container {container}")
+
+    def write(self, audio: np.ndarray):
+        self._sink.write(np.asarray(audio))
+
+    def close(self):
+        self._sink.close()
 
 
 class BufferSink:

@@ -94,8 +94,11 @@ def calibrate_sync(size: int = 2048, iters: int = 16) -> dict:
     tn = _timed_serial(mm, a, a, iters)
     per_iter = max((tn - t1) / (iters - 1), 1e-9)
     tflops = 2 * size**3 / per_iter / 1e12
+    # The failure mode this guards is sync-not-working (dispatch returns
+    # before execution), which reads as absurdly HIGH TFLOP/s; a low
+    # reading is just a slow/loaded backend, still a valid clock.
     return {"matmul_ms": per_iter * 1e3, "tflops": tflops,
-            "plausible": 0.1 < tflops < 1000.0}
+            "plausible": 0.02 < tflops < 1000.0}
 
 
 def report_table(results: dict[str, dict]) -> str:

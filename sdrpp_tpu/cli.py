@@ -68,6 +68,8 @@ def cmd_run(argv):
     p.add_argument("--deemphasis", default=None, choices=[None, "22us", "50us", "75us"])
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--trace", default=None, metavar="LOGDIR",
+                   help="dump a jax.profiler trace of the run to LOGDIR")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -122,6 +124,10 @@ def cmd_run(argv):
             src.seek(offset)
         log.info(f"resumed from {args.checkpoint} at sample {offset}")
 
+    import contextlib
+
+    from .utils.tracing import StreamMonitor, annotate, trace
+
     step = jax.jit(chan)
     sink = RecorderSink(args.out, int(args.audio_rate),
                         container=args.container,
@@ -129,19 +135,27 @@ def cmd_run(argv):
     total = 0
     nblocks = 0
     src_len = getattr(src, "num_frames", None)
-    while args.blocks == 0 or nblocks < args.blocks:
-        if src_len is not None and offset + block > src_len:
-            break
-        iq = src.read(block)
-        state, audio = step(state, jnp.asarray(iq))
-        out = audio[0] if isinstance(audio, tuple) else audio
-        sink.write(np.asarray(out))
-        offset += block
-        total += block
-        nblocks += 1
-        if args.blocks == 0 and src_len is None and nblocks >= 100:
-            break
+    mon = StreamMonitor(samplerate=fs)
+    ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
+    with ctx:
+        while args.blocks == 0 or nblocks < args.blocks:
+            if src_len is not None and offset + block > src_len:
+                break
+            iq = src.read(block)
+            with mon.block(block), annotate(f"run:{args.mode}"):
+                state, audio = step(state, jnp.asarray(iq))
+                out = audio[0] if isinstance(audio, tuple) else audio
+                out = np.asarray(out)
+            sink.write(out)
+            offset += block
+            total += block
+            nblocks += 1
+            if args.blocks == 0 and src_len is None and nblocks >= 100:
+                break
     sink.close()
+    log.info(str(mon))
+    if args.trace:
+        log.info(f"profiler trace -> {args.trace}")
     if args.checkpoint:
         save_state(args.checkpoint, state, stream_offset=offset)
         log.info(f"checkpoint -> {args.checkpoint}")

@@ -16,6 +16,13 @@ sdrpp_tpu/utils/speed_tester.py). A known-FLOPs matmul calibration guards
 against broken sync; if it reports an implausible rate the benchmark
 aborts rather than print a bogus number.
 
+Resilience: the axon tunnel is intermittently flaky (spurious
+UNIMPLEMENTED on execute/readback, multi-minute first-sync latency,
+degradation after failed executions). The whole TPU attempt is retried
+with backoff; on persistent failure the benchmark re-runs itself on CPU
+in a subprocess so the driver ALWAYS gets a measured JSON line, with the
+reason recorded in the unit string.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline = fraction of the 1 Gsample/s aggregate target this ONE chip
 delivers.
@@ -53,12 +60,9 @@ def _deadline(seconds: int):
         signal.signal(signal.SIGALRM, old)
 
 
-def main():
-    use_cpu = "--cpu" in sys.argv
+def _attempt(use_cpu: bool) -> dict:
+    """One full benchmark attempt. Raises on backend failure."""
     import jax
-
-    if use_cpu:
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from sdrpp_tpu.parallel.vfo_bank import VFOBank
@@ -66,46 +70,6 @@ def main():
     from sdrpp_tpu.ops.fir import FIR
     from sdrpp_tpu.ops import taps as taps_mod
     from sdrpp_tpu.utils.speed_tester import calibrate_sync
-
-    def _cpu_fallback(reason):
-        # The TPU tunnel is not executing work; rerun the whole benchmark
-        # on CPU in a fresh process so the driver still gets a real
-        # (if low) measured number, with the reason recorded in the unit.
-        import subprocess
-        if use_cpu:
-            _fail(reason)
-            return
-        out = subprocess.run([sys.executable, __file__, "--cpu"],
-                             capture_output=True, text=True, timeout=900)
-        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
-        try:
-            d = json.loads(line)
-            d["unit"] += f" [CPU FALLBACK: {reason}]"
-            print(json.dumps(d))
-        except Exception:
-            _fail(f"{reason}; cpu fallback also failed")
-
-    cal = None
-    for attempt in range(2):
-        try:
-            with _deadline(480):
-                cal = calibrate_sync(size=1024 if use_cpu else 2048, iters=8)
-        except TimeoutError:
-            _cpu_fallback("tpu calibration timed out")
-            return
-        except Exception:  # backend flake
-            time.sleep(10.0)
-            continue
-        if cal["plausible"]:
-            break
-        time.sleep(10.0)
-    if cal is None:
-        _cpu_fallback("tpu backend errors during calibration")
-        return
-    if not cal["plausible"]:
-        _fail(f"timing harness failed calibration "
-              f"({cal['tflops']:.2e} TFLOP/s, {cal['matmul_ms']:.4f} ms)")
-        return
 
     channels = 64
     fs_in = 6144000.0
@@ -129,40 +93,12 @@ def main():
         return (vs, qs, fs), jnp.sum(y[..., -2:].astype(jnp.float32))
 
     rng = np.random.default_rng(0)
-    x_host = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) \
-        .astype(np.complex64)
-    x = None
-    for attempt in range(4):
-        try:
-            x = jnp.asarray(x_host)
-            break
-        except Exception:
-            time.sleep(5.0 * (attempt + 1))
-    if x is None:
-        _cpu_fallback("tpu H2D transfer failed")
-        return
+    x = jnp.asarray((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+                    .astype(np.complex64))
 
     make_state = jax.jit(lambda d: (vfo.init_state(), demod.init_state(),
                                     audio_fir.init_state()))
-    state = None
-    for attempt in range(4):  # axon tunnel can be transiently flaky
-        try:
-            state = make_state(np.float32(0))
-            break
-        except Exception:
-            time.sleep(5.0 * (attempt + 1))
-    if state is None:
-        # Fallback: every carried state in this chain is zeros by
-        # construction (FIR tails, NCO phases, quadrature carry), so
-        # materialize them host-side and transfer (the reliable path).
-        try:
-            shapes = jax.eval_shape(lambda: (vfo.init_state(), demod.init_state(),
-                                             audio_fir.init_state()))
-            state = jax.tree_util.tree_map(
-                lambda sd: jnp.asarray(np.zeros(sd.shape, sd.dtype)), shapes)
-        except Exception as e:
-            _cpu_fallback(f"tpu state init failed: {type(e).__name__}")
-            return
+    state = make_state(np.float32(0))
 
     def run(iters):
         t0 = time.perf_counter()
@@ -172,27 +108,71 @@ def main():
         float(c)  # true sync (jit-output readback)
         return time.perf_counter() - t0
 
-    try:
-        with _deadline(480):
-            run(1)  # compile + warm
-            t1 = run(1)
-            iters = 16
-            tn = run(iters)
-    except TimeoutError:
-        _cpu_fallback("tpu benchmark sync timed out")
-        return
-    except Exception as e:
-        _cpu_fallback(f"tpu benchmark failed: {type(e).__name__}")
-        return
+    run(1)  # compile + warm + prove the chain executes end-to-end
+    # Only now calibrate the timing harness (known-FLOPs matmul).
+    cal = calibrate_sync(size=1024 if use_cpu else 2048, iters=8)
+    if not cal["plausible"]:
+        raise RuntimeError(
+            f"timing harness failed calibration "
+            f"({cal['tflops']:.2e} TFLOP/s, {cal['matmul_ms']:.4f} ms)")
+    t1 = run(1)
+    iters = 16
+    tn = run(iters)
     per_iter = max((tn - t1) / (iters - 1), 1e-9)
+    return {"aggregate": channels * n / per_iter, "cal": cal}
 
-    aggregate = channels * n / per_iter
+
+def main():
+    use_cpu = "--cpu" in sys.argv
+    import jax
+
+    if use_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    def _cpu_fallback(reason):
+        # The TPU tunnel is not executing work; rerun the whole benchmark
+        # on CPU in a fresh process so the driver still gets a real
+        # (if low) measured number, with the reason recorded in the unit.
+        import subprocess
+        if use_cpu:
+            _fail(reason)
+            return
+        out = subprocess.run([sys.executable, __file__, "--cpu"],
+                             capture_output=True, text=True, timeout=900)
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        try:
+            d = json.loads(line)
+            d["unit"] += f" [CPU FALLBACK: {reason}]"
+            print(json.dumps(d))
+        except Exception:
+            _fail(f"{reason}; cpu fallback also failed")
+
+    result = None
+    reason = "tpu attempt failed"
+    attempts = 1 if use_cpu else 3
+    for attempt in range(attempts):
+        try:
+            with _deadline(900):
+                result = _attempt(use_cpu)
+            break
+        except TimeoutError:
+            reason = "tpu benchmark timed out"
+        except Exception as e:
+            reason = f"tpu benchmark failed: {type(e).__name__}"
+        if attempt + 1 < attempts:
+            time.sleep(60.0 * (attempt + 1))  # flaky-tunnel cool-down
+    if result is None:
+        _cpu_fallback(reason)
+        return
+
+    aggregate = result["aggregate"]
+    cal = result["cal"]
     target = 1e9
     print(json.dumps({
         "metric": "aggregate_iq_mix_fir_demod_throughput",
         "value": aggregate,
         "unit": "samples/s/chip (64-ch NFM bank, input-samples x channels; "
-                f"sync-calibrated {cal["tflops"]:.1f} TFLOP/s matmul)",
+                f"sync-calibrated {cal['tflops']:.1f} TFLOP/s matmul)",
         "vs_baseline": aggregate / target,
     }))
 

@@ -202,6 +202,61 @@ def _rice_param(partition: np.ndarray) -> int:
     return k
 
 
+def _rice_bits(folded: np.ndarray, k: int) -> int:
+    """Exact bit cost of Rice-coding the folded residuals with parameter k."""
+    return int(np.sum(folded >> k)) + len(folded) * (k + 1)
+
+
+def _lpc_coeffs(x: np.ndarray, order: int, precision: int = 14):
+    """Window -> autocorrelation -> Levinson-Durbin -> quantized predictor.
+
+    Returns (qcoefs int32[order], shift) or None when the signal is too
+    short/degenerate. Mirrors libFLAC's default pipeline (apodize, solve
+    normal equations, quantize to `precision` bits with a left shift)."""
+    n = len(x)
+    if n <= order + 1:
+        return None
+    w = np.hanning(n)
+    xs = x.astype(np.float64) * w
+    ac = np.array([np.dot(xs[: n - lag], xs[lag:]) for lag in range(order + 1)])
+    if ac[0] == 0.0:
+        return None
+    # Levinson-Durbin recursion
+    err = ac[0]
+    a = np.zeros(order, np.float64)
+    for i in range(order):
+        acc = ac[i + 1] - sum(a[j] * ac[i - j] for j in range(i))
+        if err == 0.0:
+            return None
+        k = acc / err
+        a[: i + 1] = np.concatenate([a[:i] - k * a[:i][::-1], [k]])
+        err *= (1.0 - k * k)
+        if err <= 0.0:
+            break
+    cmax = np.max(np.abs(a))
+    if not np.isfinite(cmax) or cmax == 0.0:
+        return None
+    shift = min(15, max(0, precision - 1 - int(np.floor(np.log2(cmax))) - 1))
+    q = np.clip(np.rint(a * (1 << shift)), -(1 << (precision - 1)),
+                (1 << (precision - 1)) - 1).astype(np.int64)
+    if not np.any(q):
+        return None
+    return q, shift
+
+
+def _lpc_residual(x: np.ndarray, q: np.ndarray, shift: int) -> np.ndarray:
+    """r[i] = x[i] - (sum_j q[j]·x[i-1-j]) >> shift for i >= order.
+
+    The prediction sum uses the arithmetic right shift the format
+    specifies; vectorized as a stack of lagged slices."""
+    order = len(q)
+    n = len(x)
+    pred = np.zeros(n - order, np.int64)
+    for j in range(order):
+        pred += q[j] * x[order - 1 - j: n - 1 - j]
+    return x[order:] - (pred >> shift)
+
+
 def _zigzag(r: np.ndarray) -> np.ndarray:
     return np.where(r >= 0, r.astype(np.int64) << 1, (-r.astype(np.int64) << 1) - 1)
 
@@ -215,11 +270,14 @@ class FlacWriter:
     """
 
     def __init__(self, path, samplerate: int, channels: int = 2,
-                 bits: int = 16, block_size: int = 4096):
+                 bits: int = 16, block_size: int = 4096,
+                 lpc: bool = True, lpc_precision: int = 14):
         if bits not in _SAMPLE_SIZE_CODE:
             raise ValueError(f"unsupported bit depth {bits}")
         if not 1 <= channels <= 8:
             raise ValueError("1..8 channels")
+        self.lpc = lpc
+        self.lpc_precision = lpc_precision
         self.path = Path(path)
         self.samplerate = int(samplerate)
         self.channels = channels
@@ -331,23 +389,56 @@ class FlacWriter:
             return
         max_order = min(4, n - 1)
         res = _fixed_residuals(x, max_order)
-        # order-k residuals can exceed int ranges Rice handles well for very
-        # hot 32-bit input; fall back to VERBATIM if any fold would be huge
-        costs = [int(np.sum(np.abs(r))) + (o + 1) for o, r in enumerate(res)]
-        order = int(np.argmin(costs))
+        fixed_costs = []
+        for o, r in enumerate(res):
+            folded = _zigzag(r)
+            fixed_costs.append(_rice_bits(folded, _rice_param(folded))
+                               + o * bits)
+        order = int(np.argmin(fixed_costs))
         r = res[order]
-        if len(r) and int(np.max(np.abs(r))) >= 1 << 30:
+
+        # LPC candidate (libFLAC's default path; order 8, 14-bit precision)
+        lpc = None
+        lpc_order = min(8, n - 1)
+        if self.lpc and lpc_order >= 1:
+            got = _lpc_coeffs(x, lpc_order, self.lpc_precision)
+            if got is not None:
+                q, shift = got
+                lr = _lpc_residual(x, q, shift)
+                if len(lr) == 0 or int(np.max(np.abs(lr))) < 1 << 30:
+                    lfold = _zigzag(lr)
+                    lcost = (_rice_bits(lfold, _rice_param(lfold))
+                             + lpc_order * bits
+                             + 4 + 5 + lpc_order * self.lpc_precision)
+                    if lcost < fixed_costs[order]:
+                        lpc = (q, shift, lr)
+
+        if lpc is None and len(r) and int(np.max(np.abs(r))) >= 1 << 30:
+            # residuals too hot for Rice folding: VERBATIM escape hatch
             bw.write(0, 1)
             bw.write(0b000001, 6)  # VERBATIM
             bw.write(0, 1)
             for v in x:
                 bw.write_signed(int(v), bits)
             return
+
         bw.write(0, 1)
-        bw.write(0b001000 | order, 6)  # FIXED
-        bw.write(0, 1)                 # no wasted bits
-        for v in x[:order]:
-            bw.write_signed(int(v), bits)
+        if lpc is not None:
+            q, shift, r = lpc
+            order = lpc_order
+            bw.write(0b100000 | (order - 1), 6)  # LPC
+            bw.write(0, 1)                       # no wasted bits
+            for v in x[:order]:
+                bw.write_signed(int(v), bits)
+            bw.write(self.lpc_precision - 1, 4)
+            bw.write_signed(shift, 5)
+            for c in q:
+                bw.write_signed(int(c), self.lpc_precision)
+        else:
+            bw.write(0b001000 | order, 6)  # FIXED
+            bw.write(0, 1)                 # no wasted bits
+            for v in x[:order]:
+                bw.write_signed(int(v), bits)
         folded = _zigzag(r)
         bw.write(0b00, 2)   # residual method: 4-bit Rice
         bw.write(0, 4)      # partition order 0
@@ -507,6 +598,20 @@ def _decode_subframe(br: _BitReader, n: int, bits: int) -> np.ndarray:
         warm = [br.read_signed(bits) for _ in range(order)]
         r = _decode_residual(br, n, order)
         x = _undiff(np.asarray(warm, np.int64), r, order, n)
+    elif stype >= 32:  # LPC
+        order = stype - 31
+        warm = [br.read_signed(bits) for _ in range(order)]
+        precision = br.read(4) + 1
+        shift = br.read_signed(5)
+        q = [br.read_signed(precision) for _ in range(order)]
+        r = _decode_residual(br, n, order)
+        x = np.empty(n, np.int64)
+        x[:order] = warm
+        for i in range(order, n):
+            pred = 0
+            for j in range(order):
+                pred += q[j] * x[i - 1 - j]
+            x[i] = r[i - order] + (int(pred) >> shift)
     else:
         raise ValueError(f"unsupported subframe type {stype}")
     return x << wasted

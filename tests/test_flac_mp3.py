@@ -83,6 +83,21 @@ class TestFlac:
         with pytest.raises(ValueError):
             read_flac(p)
 
+    def test_lpc_roundtrip_and_smaller(self, tmp_path):
+        # strongly-predictable signal: LPC should win over fixed predictors
+        n = 16384
+        t = np.arange(n) / 48000.0
+        x = (0.5 * np.sin(2 * np.pi * 440.5 * t))[:, None]
+        sizes = {}
+        for lpc in (False, True):
+            p = tmp_path / f"lpc{lpc}.flac"
+            with FlacWriter(p, 48000, channels=1, bits=16, lpc=lpc) as w:
+                w.write(x)
+            info, dec = read_flac(p)
+            np.testing.assert_array_equal(dec, _quant(x, 16))
+            sizes[lpc] = p.stat().st_size
+        assert sizes[True] < sizes[False]
+
     def test_crc_vectors(self):
         # CRC-8 poly 0x07 and CRC-16 poly 0x8005, both init 0 (RFC 9639)
         assert crc8(b"123456789") == 0xF4

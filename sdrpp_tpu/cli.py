@@ -62,6 +62,9 @@ def cmd_run(argv):
     p.add_argument("--out", default="audio.wav")
     p.add_argument("--container", default="wav", choices=["wav", "flac", "mp3"],
                    help="recording container (the recorder's WAV/FLAC/MP3)")
+    p.add_argument("--sample-format", default="i16",
+                   choices=["u8", "i16", "i24", "i32", "f32"],
+                   help="sample depth (recorder main.cpp:48-60; f32 WAV only)")
     p.add_argument("--blocks", type=int, default=0, help="0 = until EOF")
     p.add_argument("--block-size", type=int, default=262144)
     p.add_argument("--squelch", type=float, default=None)
@@ -100,7 +103,8 @@ def cmd_run(argv):
             if args.blocks == 0 and src_len is None and nblocks >= 100:
                 break
         from .io import wav as wav_mod
-        wav_mod.write_wav(args.out, int(fs), np.concatenate(chunks), "i16")
+        wav_mod.write_wav(args.out, int(fs), np.concatenate(chunks),
+                          args.sample_format)
         log.info(f"recorded {n_total} IQ samples -> {args.out}")
         return
 
@@ -131,7 +135,8 @@ def cmd_run(argv):
     step = jax.jit(chan)
     sink = RecorderSink(args.out, int(args.audio_rate),
                         container=args.container,
-                        channels=2 if chan.stereo_out else 1)
+                        channels=2 if chan.stereo_out else 1,
+                        sample_format=args.sample_format)
     total = 0
     nblocks = 0
     src_len = getattr(src, "num_frames", None)

@@ -21,10 +21,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .scans import AGC, FL_PI, PLL, FastAGC, _critically_damped
+from .scans import AGC, FL_PI, PLL, Costas, FastAGC, _critically_damped
 
 __all__ = ["pll_phases_pallas", "fast_agc_gains_pallas", "agc_gains_pallas",
-           "PLLPallas", "FastAGCPallas", "AGCPallas"]
+           "costas_phases_pallas", "PLLPallas", "FastAGCPallas", "AGCPallas",
+           "CostasPallas"]
 
 
 def _pallas_on_tpu() -> bool:
@@ -121,6 +122,79 @@ def fast_agc_gains_pallas(amps: jax.Array, gain0, set_point, max_gain, rate,
     return out, fin[0]
 
 
+def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
+                         order: int, alpha, beta, min_freq, max_freq,
+                         interpret: bool = False):
+    """Sequential Costas recurrence -> (out_phases, phase_f, freq_f).
+
+    The error needs the ROTATED sample (reference costas.h:25-38), so the
+    complex input rides along as re/im planes in VMEM and the kernel
+    rotates each sample by -phase scalar-wise; the output phases let the
+    (vectorized) caller apply the same rotation to produce the mixed-down
+    samples. Bit-equivalence with ops/scans.Costas is pinned by tests.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = re.shape[0]
+    alpha = np.float32(alpha)
+    beta = np.float32(beta)
+    min_freq = np.float32(min_freq)
+    max_freq = np.float32(max_freq)
+    two_pi = np.float32(2.0) * FL_PI
+    k8 = np.float32(np.sqrt(2.0) - 1.0)
+    one = np.float32(1.0)
+
+    def kernel(state_ref, re_ref, im_ref, out_ref, fin_ref):
+        def body(t, carry):
+            phase, freq = carry
+            out_ref[t] = phase
+            c = jnp.cos(-phase)
+            s = jnp.sin(-phase)
+            a, b = re_ref[t], im_ref[t]
+            rr = a * c - b * s
+            ri = a * s + b * c
+            if order == 2:
+                err = rr * ri
+            elif order == 4:
+                sr = jnp.where(rr > 0, one, -one)
+                si = jnp.where(ri > 0, one, -one)
+                err = sr * ri - si * rr
+            else:  # order 8
+                sr = jnp.where(rr > 0, one, -one)
+                si = jnp.where(ri > 0, one, -one)
+                err = jnp.where(jnp.abs(rr) >= jnp.abs(ri),
+                                sr * ri - si * rr * k8,
+                                sr * ri * k8 - si * rr)
+            err = jnp.clip(err, -one, one)
+            freq = jnp.clip(freq + beta * err, min_freq, max_freq)
+            phase = phase + freq + alpha * err
+            phase = jnp.mod(phase + FL_PI, two_pi) - FL_PI
+            phase = jnp.where(phase > FL_PI, phase - two_pi, phase)
+            phase = jnp.where(phase <= -FL_PI, phase + two_pi, phase)
+            return (phase, freq)
+
+        phase, freq = jax.lax.fori_loop(
+            0, n, body, (state_ref[0], state_ref[1]))
+        fin_ref[0] = phase
+        fin_ref[1] = freq
+
+    state = jnp.stack([jnp.asarray(phase0, jnp.float32),
+                       jnp.asarray(freq0, jnp.float32)])
+    out, fin = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n,), jnp.float32),
+                   jax.ShapeDtypeStruct((2,), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        interpret=interpret,
+    )(state, re.astype(jnp.float32), im.astype(jnp.float32))
+    return out, fin[0], fin[1]
+
+
 class PLLPallas(PLL):
     """PLL with the Pallas recurrence on TPU (lax.scan elsewhere)."""
 
@@ -137,6 +211,24 @@ class PLLPallas(PLL):
             self.min_freq, self.max_freq, interpret=self.interpret)
         y = jax.lax.complex(jnp.cos(out_phases), jnp.sin(out_phases))
         return {"phase": phase_f, "freq": freq_f}, y
+
+
+class CostasPallas(Costas):
+    """Costas loop with the Pallas recurrence on TPU (lax.scan elsewhere)."""
+
+    def __init__(self, *args, interpret: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.interpret = interpret
+
+    def __call__(self, state, x):
+        if x.ndim != 1 or (not self.interpret and not _pallas_on_tpu()):
+            return super().__call__(state, x)
+        out_phases, phase_f, freq_f = costas_phases_pallas(
+            x.real, x.imag, state["phase"], state["freq"], self.order,
+            self.alpha, self.beta, self.min_freq, self.max_freq,
+            interpret=self.interpret)
+        lo = jax.lax.complex(jnp.cos(-out_phases), jnp.sin(-out_phases))
+        return {"phase": phase_f, "freq": freq_f}, x * lo
 
 
 class FastAGCPallas(FastAGC):

@@ -48,3 +48,40 @@ def test_agc_pallas_matches_scan():
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
     assert float(s1["amp"]) == float(s2["amp"])
     assert float(s1["gain"]) == float(s2["gain"])
+
+
+def test_costas_pallas_matches_scan():
+    from sdrpp_tpu.ops.scans import Costas
+    from sdrpp_tpu.ops.scans_pallas import CostasPallas
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    for order in (2, 4, 8):
+        # noisy rotating M-PSK constellation
+        symbols = rng.integers(0, order, n)
+        ph = 2 * np.pi * symbols / order + 0.02 * np.arange(n) + 0.3
+        x = (np.exp(1j * ph) + 0.05 * (rng.standard_normal(n)
+             + 1j * rng.standard_normal(n))).astype(np.complex64)
+        ref = Costas(order, 0.01)
+        pal = CostasPallas(order, 0.01, interpret=True)
+        s1, s2 = ref.init_state(), pal.init_state()
+        for blk in (x[:2048], x[2048:]):
+            s1, y1 = ref(s1, jnp.asarray(blk))
+            s2, y2 = pal(s2, jnp.asarray(blk))
+            # the kernel's inline rotation contracts differently (FMA)
+            # than XLA's complex multiply: ULP-level tolerance, not exact
+            np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                       rtol=0, atol=1e-4)
+        assert abs(float(s1["phase"]) - float(s2["phase"])) < 1e-3
+        assert abs(float(s1["freq"]) - float(s2["freq"])) < 1e-4
+
+
+def test_costas_pallas_falls_back_on_batched_input():
+    from sdrpp_tpu.ops.scans_pallas import CostasPallas
+
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal((3, 512)) + 1j * rng.standard_normal((3, 512))) \
+        .astype(np.complex64)
+    pal = CostasPallas(4, 0.01, interpret=True, lead_shape=(3,))
+    st, y = pal(pal.init_state(), jnp.asarray(x))
+    assert y.shape == (3, 512)

@@ -24,9 +24,10 @@ from ..ops import taps as taps_mod
 from ..ops.clock_recovery import MMClockRecovery
 from ..ops.fir import FIR
 from ..ops.fm import Quadrature
-from ..ops.scans import FL_PI, Costas, _normalize_phase, _pcl_advance, \
+from ..ops.scans import FL_PI, _normalize_phase, _pcl_advance, \
     _critically_damped
-from ..ops.scans_pallas import FastAGCPallas as FastAGC
+from ..ops.scans_pallas import CostasPallas as Costas, \
+    FastAGCPallas as FastAGC
 from ..utils.blocks import Block
 
 __all__ = ["PSKDemod", "GFSKDemod", "MeteorCostas", "MeteorDemod"]

@@ -24,8 +24,8 @@ from ..ops.clock_recovery import MMClockRecovery
 from ..ops.digital import DifferentialDecoder, binary_slicer
 from ..ops.fir import FIR
 from ..ops.mix import hz_to_rads
-from ..ops.scans import Costas
-from ..ops.scans_pallas import FastAGCPallas as FastAGC
+from ..ops.scans_pallas import CostasPallas as Costas, \
+    FastAGCPallas as FastAGC
 from ..utils.blocks import Block
 
 __all__ = ["RDSChain", "RDSReceiver"]

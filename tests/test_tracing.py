@@ -44,11 +44,13 @@ def test_annotate_and_trace(tmp_path):
     assert any(p.is_file() for p in dumped)
 
 
-def test_cli_run_reports_throughput(tmp_path, capsys):
+def test_cli_run_reports_throughput(tmp_path, caplog):
+    import logging
+
     from sdrpp_tpu.cli import cmd_run
 
-    cmd_run(["--source", "test:1024000", "--mode", "am", "--tone", "0",
-             "--out", str(tmp_path / "a.wav"), "--blocks", "2",
-             "--block-size", "131072"])
-    err = capsys.readouterr().err
-    assert "Msamp/s" in err
+    with caplog.at_level(logging.INFO):
+        cmd_run(["--source", "test:1024000", "--mode", "am", "--tone", "0",
+                 "--out", str(tmp_path / "a.wav"), "--blocks", "2",
+                 "--block-size", "131072"])
+    assert any("Msamp/s" in r.message for r in caplog.records)

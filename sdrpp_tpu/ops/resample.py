@@ -100,6 +100,11 @@ def build_polyphase_bank(taps: np.ndarray, interp: int) -> np.ndarray:
     return bank
 
 
+# Max unrolled slice+mac ops for the grouped (gather-free) polyphase form;
+# above this the gather form compiles O(1) ops instead of i*tpp.
+GROUPED_MAX_UNROLL = 8192
+
+
 class PolyphaseResampler(Block):
     """L/M rational resampler (reference: polyphase_resampler.h:8-125).
 
@@ -140,11 +145,14 @@ class PolyphaseResampler(Block):
         new_tail = buf[..., n:]
         i, d, tpp = self.interp, self.decim, self.tpp
 
-        if out_n % i == 0:
+        if out_n % i == 0 and i * tpp <= GROUPED_MAX_UNROLL:
             # Gather-free grouped form: outputs k = m*i + r share phase
             # bank[(r*d) % i] and their offsets advance by exactly d —
             # each group is a stride-d correlation (a decimating FIR with
             # that phase's taps). Work = out_n * tpp MACs, pure slices.
+            # The i*tpp bound caps graph size (the loops unroll i*tpp
+            # slice+mac ops at trace time); above it the gather form
+            # compiles O(1) ops instead.
             groups = []
             m_count = out_n // i
             for r in range(i):
@@ -177,6 +185,15 @@ def plan_rational_resampler(in_samplerate: float, out_samplerate: float):
     pre_power = int(np.floor(np.log2(in_samplerate / out_samplerate))) \
         if in_samplerate > out_samplerate else 0
     pre_power = min(pre_power, max_power_decim_ratio())
+    # Planning refinement over the reference: its reconfigure() rounds the
+    # post-predecimation rate to an integer, so a non-integral intermediate
+    # (e.g. 250 kHz / 32 = 7812.5 Hz) silently plans a huge interp/decim
+    # pair (1250/1953) with a hidden 0.0064% rate error. Back the
+    # pre-decimator off until the intermediate rate is integral — for
+    # 250 kHz -> 5 kHz that gives 16x -> 15625 Hz -> interp 8 / decim 25,
+    # exact and with a tiny polyphase bank (TPU graphs scale with interp).
+    while pre_power > 0 and (in_samplerate / (1 << pre_power)) % 1.0 != 0.0:
+        pre_power -= 1
     pre_ratio = min(1 << max(pre_power, 0), max_power_decim_ratio())
     use_decim = in_samplerate > out_samplerate and pre_power > 0
     int_samplerate = in_samplerate / pre_ratio if use_decim else in_samplerate

@@ -24,8 +24,9 @@ from .utils import log
 def _add_source_args(p):
     p.add_argument("--source", required=True,
                    help="IQ WAV path, 'test:<samplerate>', "
-                        "'rtltcp:<host>:<port>[:<samplerate>]', or "
-                        "'spyserver:<host>:<port>'")
+                        "'rtltcp:<host>:<port>[:<samplerate>]', "
+                        "'spyserver:<host>:<port>', or "
+                        "'kiwisdr:<host>:<port>[:<freq_hz>]'")
     p.add_argument("--tone", type=float, default=100000.0,
                    help="test source tone offset Hz")
 
@@ -48,6 +49,11 @@ def _make_source(args):
         s = SpyServerSource(parts[1], int(parts[2]))
         s.start()
         return s
+    if src.startswith("kiwisdr:"):
+        from .io.kiwisdr import KiwiSDRSource
+        parts = src.split(":")
+        freq = float(parts[3]) if len(parts) > 3 else 10000000.0
+        return KiwiSDRSource(parts[1], int(parts[2]), freq_hz=freq)
     return FileSource(src, loop=False)
 
 

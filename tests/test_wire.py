@@ -318,3 +318,16 @@ def test_parse_snd_iq_rejects_non_iq():
     from sdrpp_tpu.io.kiwisdr import parse_snd_iq
     assert parse_snd_iq(b"MSG hello") is None
     assert parse_snd_iq(b"SND" + bytes([0x00]) + b"\x00" * 100) is None
+
+
+def test_cli_source_dispatch_kiwisdr():
+    """cli --source kiwisdr:host:port dispatches to KiwiSDRSource
+    (connection refused proves the right backend was chosen)."""
+    import argparse
+
+    pytest.importorskip("websockets")
+    from sdrpp_tpu.cli import _make_source
+
+    args = argparse.Namespace(source="kiwisdr:127.0.0.1:1", tone=0.0)
+    with pytest.raises(OSError):
+        _make_source(args)

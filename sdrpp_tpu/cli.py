@@ -76,6 +76,8 @@ def cmd_run(argv):
     p.add_argument("--squelch", type=float, default=None)
     p.add_argument("--deemphasis", default=None, choices=[None, "22us", "50us", "75us"])
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="also checkpoint every N blocks during the run")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--trace", default=None, metavar="LOGDIR",
                    help="dump a jax.profiler trace of the run to LOGDIR")
@@ -137,8 +139,11 @@ def cmd_run(argv):
     import contextlib
 
     from .utils.tracing import StreamMonitor, annotate, trace
+    from .utils.watchdog import StepWatchdog
 
-    step = jax.jit(chan)
+    step = StepWatchdog(lambda: jax.jit(chan), max_retries=2, backoff_s=2.0,
+                        checkpoint_path=args.checkpoint,
+                        checkpoint_every=args.checkpoint_every)
     sink = RecorderSink(args.out, int(args.audio_rate),
                         container=args.container,
                         channels=2 if chan.stereo_out else 1,
@@ -154,7 +159,8 @@ def cmd_run(argv):
                 break
             iq = src.read(block)
             with mon.block(block), annotate(f"run:{args.mode}"):
-                state, audio = step(state, jnp.asarray(iq))
+                state, audio = step(state, jnp.asarray(iq),
+                                    offset=offset + block)
                 out = audio[0] if isinstance(audio, tuple) else audio
                 out = np.asarray(out)
             sink.write(out)

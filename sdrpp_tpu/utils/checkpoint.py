@@ -34,8 +34,16 @@ def save_state(path, state, stream_offset: int = 0, metadata: dict | None = None
     flat["__stream_offset__"] = np.int64(stream_offset)
     for k, v in (metadata or {}).items():
         flat[f"__meta_{k}__"] = np.asarray(v)
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(path, **flat)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    # Write to a temp .npz then rename: (a) np.savez appends ".npz" when
+    # the name lacks it, which would break load_state(path) for e.g.
+    # "--checkpoint foo.ckpt"; (b) the replace is atomic, so a crash
+    # mid-save never corrupts the previous checkpoint.
+    import os
+    tmp = path.with_name(path.name + ".tmp.npz")
+    np.savez_compressed(tmp, **flat)
+    os.replace(tmp, path)
 
 
 def load_state(path, template):

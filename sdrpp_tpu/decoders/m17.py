@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
 
 __all__ = ["golay24_encode", "golay24_decode", "crc16", "decode_callsign_base40",
            "encode_callsign_base40"]

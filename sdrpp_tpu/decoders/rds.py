@@ -13,7 +13,6 @@ implements them (rds.cpp:9-31,89-135).
 
 from __future__ import annotations
 
-import time
 
 __all__ = ["RDSDecoder", "BLOCK_A", "BLOCK_B", "BLOCK_C", "BLOCK_CP", "BLOCK_D"]
 

@@ -17,7 +17,7 @@ import threading
 
 import numpy as np
 
-from ..ops.compression import (PCM_TYPE_F32, PCM_TYPE_I8, PCM_TYPE_I16,
+from ..ops.compression import (PCM_TYPE_I16,
                                pack_frame, unpack_frame)
 
 try:

@@ -17,7 +17,6 @@ Falls back transparently to the XLA path off-TPU.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .scans import AGC, FL_PI, PLL, Costas, FastAGC, _critically_damped
+from .scans import AGC, FL_PI, PLL, Costas, FastAGC
 
 __all__ = ["pll_phases_pallas", "fast_agc_gains_pallas", "agc_gains_pallas",
            "costas_phases_pallas", "PLLPallas", "FastAGCPallas", "AGCPallas",

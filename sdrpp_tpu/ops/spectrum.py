@@ -18,7 +18,6 @@ displayed bin ranges.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

@@ -20,12 +20,11 @@ functions here are also correct for P=1 (no collectives inserted).
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.fir import _taps_spectrum
 

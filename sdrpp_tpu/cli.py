@@ -179,6 +179,64 @@ def cmd_run(argv):
     log.info(f"processed {total} samples -> {args.out}")
 
 
+def cmd_bank(argv):
+    """Demodulate MANY channels at once: one batched VFO-bank computation
+    (the reference's N per-VFO thread chains; SURVEY §2.15)."""
+    p = argparse.ArgumentParser(prog="sdrpp_tpu bank")
+    _add_source_args(p)
+    p.add_argument("--offsets", required=True,
+                   help="comma-separated VFO offsets in Hz, e.g. '-200e3,0,150e3'")
+    p.add_argument("--mode", default="nfm", choices=["nfm", "am", "usb", "lsb", "cw"])
+    p.add_argument("--bandwidth", type=float, default=12500.0)
+    p.add_argument("--if-rate", type=float, default=48000.0)
+    p.add_argument("--squelch", type=float, default=None)
+    p.add_argument("--out-dir", default="bank_audio")
+    p.add_argument("--container", default="wav", choices=["wav", "flac", "mp3"])
+    p.add_argument("--blocks", type=int, default=4)
+    p.add_argument("--block-size", type=int, default=262144)
+    args = p.parse_args(argv)
+
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from .io.sinks import RecorderSink
+    from .parallel.vfo_bank import ScannerBank
+    from .utils.tracing import StreamMonitor
+
+    src = _make_source(args)
+    fs = src.samplerate
+    offsets = np.array([float(o) for o in args.offsets.split(",")])
+    bank = ScannerBank(offsets, fs, mode=args.mode, if_rate=args.if_rate,
+                       bandwidth=args.bandwidth, squelch_level=args.squelch)
+    bm = bank.block_multiple
+    block = max(bm, (args.block_size // bm) * bm)
+    log.info(f"{len(offsets)}-channel {args.mode} bank, fs={fs:g}, block={block}")
+
+    out_dir = pathlib.Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    ext = args.container
+    sinks = [RecorderSink(out_dir / f"ch{i}_{int(o):+d}Hz.{ext}",
+                          int(args.if_rate), container=args.container)
+             for i, o in enumerate(offsets)]
+    step = jax.jit(bank)
+    state = bank.init_state()
+    mon = StreamMonitor(samplerate=fs)
+    for _ in range(args.blocks):
+        iq = src.read(block)
+        with mon.block(block):
+            state, audio = step(state, jnp.asarray(iq))
+            audio = np.asarray(audio)
+        for i, sink in enumerate(sinks):
+            sink.write(audio[i])
+    for sink in sinks:
+        sink.close()
+    log.info(f"{mon} (x{len(offsets)} channels = "
+             f"{mon.samples_per_sec * len(offsets) / 1e6:.1f} Maggsamp/s)")
+    log.info(f"{len(sinks)} channel recordings -> {out_dir}/")
+
+
 def cmd_spectrum(argv):
     p = argparse.ArgumentParser(prog="sdrpp_tpu spectrum")
     _add_source_args(p)
@@ -303,6 +361,7 @@ def cmd_bench(argv):
 
 COMMANDS = {
     "run": cmd_run,
+    "bank": cmd_bank,
     "spectrum": cmd_spectrum,
     "serve": cmd_serve,
     "scan": cmd_scan,

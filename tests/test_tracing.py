@@ -54,3 +54,25 @@ def test_cli_run_reports_throughput(tmp_path, caplog):
                  "--out", str(tmp_path / "a.wav"), "--blocks", "2",
                  "--block-size", "131072"])
     assert any("Msamp/s" in r.message for r in caplog.records)
+
+
+def test_cli_bank_multichannel(tmp_path):
+    """bank command: one batched VFO-bank step -> per-channel recordings;
+    the on-carrier channel demodulates to near-silence, off-channel ones
+    to full-scale FM noise."""
+    from sdrpp_tpu.cli import cmd_bank
+    from sdrpp_tpu.io.wav import read_wav
+
+    out = tmp_path / "bank"
+    cmd_bank(["--source", "test:1024000", "--tone", "150000",
+              "--offsets", "-200e3,150e3", "--mode", "nfm",
+              "--blocks", "2", "--block-size", "131072",
+              "--out-dir", str(out)])
+    files = sorted(out.glob("*.wav"))
+    assert len(files) == 2
+    rms = []
+    for f in files:
+        info, d = read_wav(f)
+        assert info.samplerate == 48000
+        rms.append(float(np.sqrt(np.mean(d ** 2))))
+    assert rms[1] < 0.3 < rms[0]  # on-carrier quiet, off-carrier noise

@@ -65,7 +65,7 @@ def test_cli_bank_multichannel(tmp_path):
 
     out = tmp_path / "bank"
     cmd_bank(["--source", "test:1024000", "--tone", "150000",
-              "--offsets", "-200e3,150e3", "--mode", "nfm",
+              "--offsets=-200e3,150e3", "--mode", "nfm",
               "--blocks", "2", "--block-size", "131072",
               "--out-dir", str(out)])
     files = sorted(out.glob("*.wav"))

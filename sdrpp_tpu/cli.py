@@ -3,8 +3,10 @@
 The reference's entry points are the GUI app and ``sdrpp --server``
 (core/src/core.cpp:67-415, server.cpp:49-161). Headless equivalents:
 
-- ``run``      file/test IQ -> demod chain -> audio WAV (+ checkpoint/resume)
+- ``run``      IQ source -> demod chain -> WAV/FLAC/MP3 (+ checkpoint/resume)
+- ``bank``     N channels at once: batched VFO bank -> per-channel files
 - ``spectrum`` IQ -> waterfall dB lines -> .npy
+- ``scan``     sweep a band, park on active signals
 - ``serve``    stream quantized baseband over TCP (the server protocol)
 - ``bench``    the headline throughput benchmark
 

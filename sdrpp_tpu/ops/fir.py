@@ -21,6 +21,8 @@ shapes stay static.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -28,6 +30,23 @@ import jax.numpy as jnp
 from ..utils.blocks import Block
 
 __all__ = ["fir_correlate", "FIR", "DecimatingFIR", "fir_init_tail"]
+
+# 1:1 FIR implementation: "fft" (overlap-save, default off the axon tunnel),
+# "direct" (lax.conv correlation — XLA lowers it onto the MXU), or "auto"
+# (direct on the experimental axon backend, whose XLA FFT op is
+# unimplemented; fft elsewhere).
+FIR_MODE = os.environ.get("SDRPP_TPU_FIR", "auto")
+
+
+def _use_direct() -> bool:
+    if FIR_MODE == "direct":
+        return True
+    if FIR_MODE == "fft":
+        return False
+    try:
+        return jax.default_backend() == "axon"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def _next_pow2(n: int) -> int:
@@ -47,6 +66,35 @@ def fir_init_tail(ntaps: int, dtype=jnp.complex64, lead_shape=()) -> jax.Array:
     return jnp.zeros((*lead_shape, ntaps - 1), dtype=dtype)
 
 
+def _real_conv1d(sig: jax.Array, taps_r: np.ndarray, n: int) -> jax.Array:
+    """Correlation of [..., n+m-1] with m real taps -> [..., n] via
+    lax.conv (XLA convs do NOT flip the kernel, i.e. they ARE
+    correlations; TPU lowers them onto the MXU)."""
+    m = taps_r.shape[0]
+    lead = sig.shape[:-1]
+    lhs = sig.reshape(-1, 1, sig.shape[-1]).astype(jnp.float32)
+    rhs = jnp.asarray(np.asarray(taps_r, np.float32).reshape(1, 1, m))
+    out = jax.lax.conv_general_dilated(lhs, rhs, (1,), "VALID")
+    return out.reshape(*lead, n)
+
+
+def _direct_correlate(buf: jax.Array, taps: np.ndarray, n: int,
+                      complex_out: bool, out_dtype) -> jax.Array:
+    """FFT-free 1:1 correlation: real convs composed for complex data/taps."""
+    if np.iscomplexobj(taps):
+        tr, ti = np.real(taps), np.imag(taps)
+        br = buf.real if jnp.iscomplexobj(buf) else buf
+        bi = buf.imag if jnp.iscomplexobj(buf) else jnp.zeros_like(buf)
+        yr = _real_conv1d(br, tr, n) - _real_conv1d(bi, ti, n)
+        yi = _real_conv1d(bi, tr, n) + _real_conv1d(br, ti, n)
+        return jax.lax.complex(yr, yi)
+    if jnp.iscomplexobj(buf):
+        yr = _real_conv1d(buf.real, taps, n)
+        yi = _real_conv1d(buf.imag, taps, n)
+        return jax.lax.complex(yr, yi)
+    return _real_conv1d(buf, taps, n).astype(out_dtype)
+
+
 def fir_correlate(tail: jax.Array, x: jax.Array, taps: np.ndarray) -> tuple[jax.Array, jax.Array]:
     """Filter one block; returns (new_tail, y) with y.shape == x.shape.
 
@@ -63,6 +111,11 @@ def fir_correlate(tail: jax.Array, x: jax.Array, taps: np.ndarray) -> tuple[jax.
         return tail, x * scale
 
     buf = jnp.concatenate([tail, x], axis=-1)  # [..., n + m - 1]
+    if _use_direct():
+        y = _direct_correlate(buf, taps, n, complex_out=jnp.iscomplexobj(x),
+                              out_dtype=x.dtype)
+        new_tail = jax.lax.slice_in_dim(buf, n, n + m - 1, axis=-1)
+        return new_tail, y
     fft_len = _next_pow2(n + 2 * (m - 1))
     spec = jnp.asarray(_taps_spectrum(taps, fft_len))
 

@@ -40,3 +40,38 @@ def test_polyphase_gather_path_matches_grouped():
         rs.GROUPED_MAX_UNROLL = old
     np.testing.assert_allclose(np.asarray(y_grouped), np.asarray(y_gather),
                                rtol=0, atol=2e-6)
+
+
+def test_fir_direct_mode_matches_fft():
+    """SDRPP_TPU_FIR=direct (lax.conv correlation, the axon-tunnel path
+    where XLA FFT is unimplemented) must match the overlap-save FFT path."""
+    from sdrpp_tpu.ops import fir as fir_mod
+    from sdrpp_tpu.ops import taps as taps_mod
+
+    rng = np.random.default_rng(21)
+    real_taps = taps_mod.low_pass(6000.0, 1200.0, 48000.0)
+    cplx_taps = taps_mod.band_pass(300.0, 2700.0, 240.0, 48000.0)
+    n = 4096
+    xc = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) \
+        .astype(np.complex64)
+    xf = rng.standard_normal(n).astype(np.float32)
+
+    cases = [
+        (real_taps, xc, jnp.complex64),
+        (real_taps, xf, jnp.float32),
+        (cplx_taps, xc, jnp.complex64),
+    ]
+    old = fir_mod.FIR_MODE
+    try:
+        for taps, x, dt in cases:
+            fir_mod.FIR_MODE = "fft"
+            f1 = fir_mod.FIR(taps, dtype=dt)
+            s1, y1 = jax.jit(f1)(f1.init_state(), jnp.asarray(x))
+            fir_mod.FIR_MODE = "direct"
+            f2 = fir_mod.FIR(taps, dtype=dt)
+            s2, y2 = jax.jit(f2)(f2.init_state(), jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                       rtol=0, atol=2e-4)
+            np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    finally:
+        fir_mod.FIR_MODE = old

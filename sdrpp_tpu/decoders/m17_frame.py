@@ -1,0 +1,273 @@
+"""M17 frame layer: 4FSK slicing, syncword demux, de-randomize /
+de-interleave, convolutional FEC (LSF + stream payload), LICH assembly.
+
+Reimplements the reference's m17dsp.h pipeline stages after the GFSK
+demodulator (decoder_modules/m17_decoder/src/m17dsp.h:96-640):
+
+  M17Slice4FSK (:96-140)   symbol -> 2 bits (sign, |v| > 2/3)
+  M17FrameDemux (:142-277) bit-level sync search over 3 syncwords, then
+                           descramble + deinterleave the 368 frame bits
+  M17LSFDecoder (:278-355) depuncture P1 -> K=5 Viterbi -> 30-byte LSF
+  M17PayloadFEC (:356-428) depuncture P2 -> K=5 Viterbi -> 18-byte payload
+  M17LICHDecoder (:542-640) 4x Golay(24,12) -> 6-byte chunk -> LSF assembly
+
+Protocol constants are M17-spec data: the interleaver is the quadratic
+permutation polynomial pi(x) = (45x + 92x^2) mod 368 (matches the
+reference's M17_INTERLEAVER table verbatim), the randomizer is the spec's
+46-byte decorrelation sequence (M17_SCRAMBLER bit table), puncturing
+patterns P1/P2 per spec. Symbol work is vectorized; the per-frame state
+machines run on host (4800 baud — nanoscale next to the IQ path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.fec import ConvCode
+from .m17 import M17LSF, decode_lsf, golay24_decode, golay24_encode
+
+__all__ = [
+    "slice_4fsk", "symbols_from_bits", "FrameDemux", "decode_lsf_frame",
+    "decode_stream_payload", "LICHAssembler", "encode_lsf_frame",
+    "encode_stream_frame", "SYNC_LSF", "SYNC_STF", "SYNC_PKF",
+    "FRAME_SYMBOLS", "M17_BAUDRATE", "M17_DEVIATION", "M17_RRC_ALPHA",
+]
+
+M17_BAUDRATE = 4800.0
+M17_DEVIATION = 2400.0
+M17_RRC_ALPHA = 0.5
+_HIGH_CUT = (1.0 + 1.0 / 3.0) / 2.0  # m17dsp.h:19
+
+SYNC_SIZE = 16
+RAW_FRAME_SIZE = 384          # bits incl. sync
+CUT_FRAME_SIZE = 368          # bits after sync
+LICH_SIZE = 96
+FRAME_SYMBOLS = RAW_FRAME_SIZE // 2
+
+SYNC_LSF = np.array([0, 1, 0, 1, 0, 1, 0, 1, 1, 1, 1, 1, 0, 1, 1, 1], np.uint8)
+SYNC_STF = np.array([1, 1, 1, 1, 1, 1, 1, 1, 0, 1, 0, 1, 1, 1, 0, 1], np.uint8)
+SYNC_PKF = np.array([0, 1, 1, 1, 0, 1, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1], np.uint8)
+
+FRAME_LSF, FRAME_STREAM, FRAME_PACKET = 0, 1, 2
+
+# M17 spec randomizer (== the reference's M17_SCRAMBLER bit table packed)
+_RANDOMIZER_BYTES = bytes([
+    0xD6, 0xB5, 0xE2, 0x30, 0x82, 0xFF, 0x84, 0x62, 0xBA, 0x4E, 0x96, 0x90,
+    0xD8, 0x98, 0xDD, 0x5D, 0x0C, 0xC8, 0x52, 0x43, 0x91, 0x1D, 0xF8, 0x6E,
+    0x68, 0x2F, 0x35, 0xDA, 0x14, 0xEA, 0xCD, 0x76, 0x19, 0x8D, 0xD5, 0x80,
+    0xD1, 0x33, 0x87, 0x13, 0x57, 0x18, 0x2D, 0x29, 0x78, 0xC3])
+SCRAMBLER = np.unpackbits(np.frombuffer(_RANDOMIZER_BYTES, np.uint8))[:368]
+INTERLEAVER = (45 * np.arange(368) + 92 * np.arange(368) ** 2) % 368
+
+# Puncturing patterns (m17dsp.h:85-90): P1 = "1101" repeating cut to 61,
+# P2 = eleven 1s + 0.
+PUNCT_P1 = np.tile([1, 1, 0, 1], 16)[:61].astype(np.uint8)
+PUNCT_P2 = np.array([1] * 11 + [0], np.uint8)
+ENCODED_LSF_SIZE = 488
+ENCODED_PAYLOAD_SIZE = 296
+
+# Rate-1/2 K=5 convolutional code, polys {0b11001, 0b10111} (m17dsp.h:92)
+_CONV = ConvCode(2, 5, (0b11001, 0b10111))
+
+
+def slice_4fsk(symbols: np.ndarray) -> np.ndarray:
+    """Soft 4FSK symbols -> bit pairs (M17Slice4FSK, m17dsp.h:125-131):
+    bit0 = sign (v < 0), bit1 = magnitude (|v| > 2/3)."""
+    v = np.asarray(symbols, np.float32)
+    out = np.empty(v.size * 2, np.uint8)
+    out[0::2] = v < 0.0
+    out[1::2] = np.abs(v) > _HIGH_CUT
+    return out
+
+
+def symbols_from_bits(bits: np.ndarray) -> np.ndarray:
+    """Inverse of slice_4fsk (TX helper): bit pairs -> symbols in
+    {+1/3, +1, -1/3, -1} (normalized to deviation)."""
+    bits = np.asarray(bits, np.uint8).reshape(-1, 2)
+    sign = 1.0 - 2.0 * bits[:, 0]
+    mag = np.where(bits[:, 1] == 1, 1.0, 1.0 / 3.0)
+    return (sign * mag).astype(np.float32)
+
+
+class FrameDemux:
+    """Bit-level syncword search + descramble/deinterleave
+    (M17FrameDemux, m17dsp.h:142-277).
+
+    process(bits) -> list of (frame_type, fields) where fields is
+    {"lsf": bits[368]} or {"lich": bits[96], "payload": bits[272]}.
+    """
+
+    def __init__(self):
+        self._buf = np.zeros(0, np.uint8)
+
+    def process(self, bits: np.ndarray):
+        self._buf = np.concatenate(
+            [self._buf, np.asarray(bits, np.uint8).ravel()])
+        frames = []
+        buf = self._buf
+        i = 0
+        n = len(buf)
+        while n - i >= RAW_FRAME_SIZE:
+            window = buf[i:i + SYNC_SIZE]
+            ftype = None
+            if np.array_equal(window, SYNC_LSF):
+                ftype = FRAME_LSF
+            elif np.array_equal(window, SYNC_STF):
+                ftype = FRAME_STREAM
+            elif np.array_equal(window, SYNC_PKF):
+                ftype = FRAME_PACKET
+            if ftype is None:
+                i += 1
+                continue
+            raw = buf[i + SYNC_SIZE: i + RAW_FRAME_SIZE]
+            out = np.zeros(CUT_FRAME_SIZE, np.uint8)
+            out[INTERLEAVER] = raw ^ SCRAMBLER
+            if ftype == FRAME_LSF:
+                frames.append((ftype, {"lsf": out}))
+            else:
+                frames.append((ftype, {"lich": out[:LICH_SIZE],
+                                        "payload": out[LICH_SIZE:]}))
+            i += RAW_FRAME_SIZE
+        # Keep the un-searched tail (a sync/frame may straddle the block
+        # edge); the search loop leaves at most RAW_FRAME_SIZE-1 bits.
+        self._buf = buf[i:]
+        return frames
+
+
+def _depuncture_soft(bits: np.ndarray, pattern: np.ndarray,
+                     out_len: int) -> np.ndarray:
+    """Reinsert punctured positions as NEUTRAL soft bits (128).
+
+    Deviation from the reference: m17dsp.h:317-323 writes hard 0s at
+    punctured positions and hard-decodes, which biases the branch metrics
+    (measured 27% BER on clean P1-punctured LSF frames through this
+    Viterbi). Neutral erasures are the textbook depuncture and decode
+    clean frames error-free."""
+    keep = np.resize(pattern, out_len).astype(bool)
+    out = np.full(out_len, 128.0, np.float32)
+    out[keep] = bits[:np.count_nonzero(keep)].astype(np.float32) * 255.0
+    return out
+
+
+def _puncture(bits: np.ndarray, pattern: np.ndarray) -> np.ndarray:
+    keep = np.resize(pattern, len(bits)).astype(bool)
+    return bits[keep]
+
+
+def decode_lsf_frame(lsf_bits: np.ndarray) -> M17LSF:
+    """368 demuxed LSF-frame bits -> decoded LSF
+    (M17LSFDecoder, m17dsp.h:311-341)."""
+    soft = _depuncture_soft(np.asarray(lsf_bits, np.uint8), PUNCT_P1,
+                            ENCODED_LSF_SIZE)
+    decoded = np.asarray(_CONV.decode_soft(soft, flush_bits=4))
+    raw = np.packbits(decoded[:240]).tobytes()
+    return decode_lsf(raw)
+
+
+def decode_stream_payload(payload_bits: np.ndarray) -> bytes:
+    """272 demuxed stream-frame bits -> 18-byte payload
+    ([fn u16 BE][16 codec2 bytes]; M17PayloadFEC, m17dsp.h:389-417)."""
+    soft = _depuncture_soft(np.asarray(payload_bits, np.uint8), PUNCT_P2,
+                            ENCODED_PAYLOAD_SIZE)
+    decoded = np.asarray(_CONV.decode_soft(soft, flush_bits=4))
+    return np.packbits(decoded[:144]).tobytes()
+
+
+class LICHAssembler:
+    """LICH chunk Golay decode + 6-chunk LSF reassembly
+    (M17LICHDecoder, m17dsp.h:564-631). process() returns a decoded
+    M17LSF when a full valid LSF has just been assembled, else None."""
+
+    def __init__(self):
+        self._lsf = bytearray(30)
+        self._recording = False
+        self._last_id = 0
+
+    def process(self, lich_bits: np.ndarray) -> M17LSF | None:
+        bits = np.asarray(lich_bits, np.uint8)
+        chunk = bytearray(6)
+        for b in range(4):
+            block = 0
+            for i in range(24):
+                block |= int(bits[b * 24 + i]) << (23 - i)
+            data = golay24_decode(block)
+            if data is None:
+                return None
+            for i in range(12):
+                idx = b * 12 + i
+                chunk[idx // 8] |= ((data >> (11 - i)) & 1) << (7 - (idx % 8))
+        part_id = chunk[5] >> 5
+        if part_id == 0:
+            self._recording = True
+            self._last_id = 0
+            self._lsf[0:5] = chunk[:5]
+            return None
+        if self._recording and part_id != self._last_id + 1:
+            self._recording = False
+            return None
+        if self._recording:
+            self._last_id = part_id
+            self._lsf[part_id * 5:(part_id + 1) * 5] = chunk[:5]
+            if part_id == 5:
+                self._recording = False
+                lsf = decode_lsf(bytes(self._lsf))
+                if lsf.valid:
+                    return lsf
+        return None
+
+
+# ---------------------------------------------------------------------------
+# TX helpers (test oracles; the reference has no M17 transmitter)
+# ---------------------------------------------------------------------------
+
+
+def _conv_encode_terminated(msg_bits: np.ndarray) -> np.ndarray:
+    """K=5 rate-1/2 encode with the spec's 4 zero flush bits."""
+    bits = np.concatenate([np.asarray(msg_bits, np.uint8),
+                           np.zeros(4, np.uint8)])
+    reg = 0
+    out = np.empty(len(bits) * 2, np.uint8)
+    for i, b in enumerate(bits):
+        reg = ((reg << 1) | int(b)) & 0x1F
+        out[2 * i] = bin(reg & 0b11001).count("1") & 1
+        out[2 * i + 1] = bin(reg & 0b10111).count("1") & 1
+    return out
+
+
+def _frame_bits(sync: np.ndarray, content: np.ndarray) -> np.ndarray:
+    raw = content[INTERLEAVER] ^ SCRAMBLER
+    return np.concatenate([sync, raw.astype(np.uint8)])
+
+
+def encode_lsf_frame(lsf_bytes: bytes) -> np.ndarray:
+    """30-byte LSF -> 384 frame bits (sync + randomized interleaved)."""
+    enc = _conv_encode_terminated(np.unpackbits(
+        np.frombuffer(lsf_bytes, np.uint8)))
+    return _frame_bits(SYNC_LSF, _puncture(enc, PUNCT_P1))
+
+
+def _lich_chunk_bits(lsf_bytes: bytes, part_id: int) -> np.ndarray:
+    chunk = bytearray(lsf_bytes[part_id * 5:(part_id + 1) * 5]) + bytes(
+        [part_id << 5])
+    cb = np.unpackbits(np.frombuffer(bytes(chunk), np.uint8))
+    out = np.empty(96, np.uint8)
+    for b in range(4):
+        data = 0
+        for i in range(12):
+            data |= int(cb[b * 12 + i]) << (11 - i)
+        cw = golay24_encode(data)
+        for i in range(24):
+            out[b * 24 + i] = (cw >> (23 - i)) & 1
+    return out
+
+
+def encode_stream_frame(lsf_bytes: bytes, fn: int,
+                        voice: bytes) -> np.ndarray:
+    """LSF + frame number + 16 codec2 bytes -> 384 stream-frame bits."""
+    part_id = fn % 6
+    payload = bytes([fn >> 8, fn & 0xFF]) + voice.ljust(16, b"\0")[:16]
+    enc = _conv_encode_terminated(np.unpackbits(
+        np.frombuffer(payload, np.uint8)))
+    content = np.concatenate([_lich_chunk_bits(lsf_bytes, part_id),
+                              _puncture(enc, PUNCT_P2)])
+    return _frame_bits(SYNC_STF, content)

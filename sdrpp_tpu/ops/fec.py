@@ -115,12 +115,18 @@ class ConvCode:
         return (p0.astype(np.int32), p1.astype(np.int32),
                 r0.astype(np.int32), r1.astype(np.int32))
 
-    def decode_soft(self, soft_bits: jax.Array) -> jax.Array:
+    def decode_soft(self, soft_bits: jax.Array,
+                    flush_bits: int | None = None) -> jax.Array:
         """Viterbi-decode soft bits (0=strong 0, 255=strong 1).
 
-        soft_bits: [T*rate] covering T trellis steps including the order+1
-        flush steps. Returns decoded bits [T - (order+1)] uint8.
+        soft_bits: [T*rate] covering T trellis steps including the flush
+        steps. Returns decoded bits [T - flush_bits] uint8. flush_bits
+        defaults to order+1 (this codec's own encode()); zero-terminated
+        external streams like M17 use order-1 (K-1 flush bits,
+        m17dsp.h:334 decoding 488 encoded -> 240 LSF bits).
         """
+        if flush_bits is None:
+            flush_bits = self.order + 1
         R, S = self.rate, self.num_states
         total = soft_bits.shape[0] // R
         soft = soft_bits.astype(jnp.float32).reshape(total, R)
@@ -154,7 +160,7 @@ class ConvCode:
 
         _, bits_rev = jax.lax.scan(back, jnp.zeros((), jnp.int32), decisions,
                                    reverse=True)
-        return bits_rev[: total - (self.order + 1)]
+        return bits_rev[: total - flush_bits]
 
     def decode_soft_bytes(self, soft_bits) -> np.ndarray:
         bits = np.asarray(self.decode_soft(jnp.asarray(soft_bits)))

@@ -7,6 +7,7 @@ The reference's entry points are the GUI app and ``sdrpp --server``
 - ``bank``     N channels at once: batched VFO bank -> per-channel files
 - ``spectrum`` IQ -> waterfall dB lines -> .npy
 - ``scan``     sweep a band, park on active signals
+- ``decode``   digital decoders: m17 / hrpt / falcon9 / kgsstv
 - ``serve``    stream quantized baseband over TCP (the server protocol)
 - ``bench``    the headline throughput benchmark
 
@@ -356,6 +357,109 @@ def cmd_scan(argv):
         print(f"{f:+12.0f} Hz  {s:6.1f} dB")
 
 
+def cmd_decode(argv):
+    """Digital decoder pipelines (the reference's decoder modules):
+    m17 voice, NOAA HRPT imagery, Falcon 9 telemetry, KG-STV frames."""
+    p = argparse.ArgumentParser(prog="sdrpp_tpu decode")
+    p.add_argument("mode", choices=["m17", "hrpt", "falcon9", "kgsstv"])
+    _add_source_args(p)
+    p.add_argument("--offset", type=float, default=0.0, help="VFO offset Hz")
+    p.add_argument("--out", default=None,
+                   help="output path (default per mode: m17 -> m17.wav, "
+                        "hrpt -> avhrr.npy, falcon9 -> falcon9_video.ts, "
+                        "kgsstv -> kgsstv_out.bin)")
+    p.add_argument("--blocks", type=int, default=0, help="0 = until EOF")
+    p.add_argument("--block-size", type=int, default=262144)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from .models.channel import RxVFO
+
+    rates = {"m17": 48000.0, "hrpt": 3000000.0, "falcon9": 6000000.0,
+             "kgsstv": 12000.0}
+    target = rates[args.mode]
+    src = _make_source(args)
+    fs = src.samplerate
+
+    vfo = None
+    if fs != target or args.offset:
+        vfo = RxVFO(fs, target, bandwidth=target, offset=args.offset)
+        vstate = vfo.init_state()
+
+    if args.mode == "m17":
+        from .models.m17_chain import M17Decoder
+        dec = M17Decoder(target, on_lsf=lambda l: log.info(
+            f"M17 LSF: dst={l.dst} src={l.src}"))
+    elif args.mode == "hrpt":
+        from .decoders.hrpt import HRPTDecoder
+        dec = HRPTDecoder(target)
+    elif args.mode == "falcon9":
+        from .decoders.falcon9 import Falcon9Decoder
+        dec = Falcon9Decoder(target)
+    else:
+        from .decoders.kg_sstv import KGSSTVDecoder
+        dec = KGSSTVDecoder(target)
+
+    out_path = args.out or {"m17": "m17.wav", "hrpt": "avhrr.npy",
+                            "falcon9": "falcon9_video.ts",
+                            "kgsstv": "kgsstv_out.bin"}[args.mode]
+    audio_chunks, avhrr_lines, frames_bin = [], [], b""
+    video = open(out_path, "wb") if args.mode == "falcon9" else None
+
+    bm = vfo.block_multiple if vfo else 1
+    block = max(bm, (args.block_size // bm) * bm)
+    src_len = getattr(src, "num_frames", None)
+    offset = nblocks = 0
+    while args.blocks == 0 or nblocks < args.blocks:
+        if src_len is not None and offset + block > src_len:
+            break
+        iq = src.read(block)
+        if vfo is not None:
+            vstate, iq = vfo(vstate, jnp.asarray(iq))
+            iq = np.asarray(iq)
+        if args.mode == "m17":
+            audio, _ = dec.process(iq)
+            audio_chunks.append(audio)
+        elif args.mode == "hrpt":
+            for f in dec.process(iq):
+                log.info(f"HRPT frame: sc={f.spacecraft_id} "
+                         f"fn={f.frame_number} syncErr={f.sync_errors}")
+                avhrr_lines.append(f.avhrr)
+        elif args.mode == "falcon9":
+            for kind, body in dec.process(iq):
+                if kind == "gps":
+                    log.info("GPS: " + body.decode(errors="replace").strip())
+                elif kind == "video":
+                    video.write(body)
+        else:
+            for fr in dec.process(iq):
+                frames_bin += fr
+        offset += block
+        nblocks += 1
+        if args.blocks == 0 and src_len is None and nblocks >= 100:
+            break
+
+    if args.mode == "m17":
+        from .io import wav as wav_mod
+        audio = (np.concatenate(audio_chunks, axis=0) if audio_chunks
+                 else np.zeros((0, 2), np.float32))
+        wav_mod.write_wav(out_path, 8000, audio, "i16")
+        log.info(f"{audio.shape[0]} voice samples -> {out_path}")
+    elif args.mode == "hrpt":
+        lines = (np.stack(avhrr_lines) if avhrr_lines
+                 else np.zeros((0, 5, 2048), np.int32))
+        np.save(out_path, lines)
+        log.info(f"{lines.shape[0]} AVHRR lines -> {out_path}")
+    elif args.mode == "falcon9":
+        video.close()
+        log.info(f"video TS -> {out_path}")
+    else:
+        with open(out_path, "wb") as f:
+            f.write(frames_bin)
+        log.info(f"{len(frames_bin)} frame bytes -> {out_path}")
+
+
 def cmd_bench(argv):
     import bench
 
@@ -365,6 +469,7 @@ def cmd_bench(argv):
 
 COMMANDS = {
     "run": cmd_run,
+    "decode": cmd_decode,
     "bank": cmd_bank,
     "spectrum": cmd_spectrum,
     "serve": cmd_serve,

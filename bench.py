@@ -85,16 +85,20 @@ def _attempt(use_cpu: bool) -> dict:
     n = 1 << 18  # input block (multiple of the 128x decimation)
     assert n % vfo.block_multiple == 0
 
+    # IQ crosses the host->device boundary as split float32 [2, n]: the
+    # axon tunnel cannot transfer complex64 in either direction (device_put
+    # and readback both raise UNIMPLEMENTED), while complex math INSIDE a
+    # jit is fully supported — so the complex view is formed in-graph.
     @jax.jit
-    def step(state, x):
+    def step(state, x_split):
+        x = jax.lax.complex(x_split[0], x_split[1])
         vs, y = vfo(state[0], x)
         qs, y = demod(state[1], y)
         fs, y = audio_fir(state[2], y)
         return (vs, qs, fs), jnp.sum(y[..., -2:].astype(jnp.float32))
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.standard_normal(n) + 1j * rng.standard_normal(n))
-                    .astype(np.complex64))
+    x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
 
     make_state = jax.jit(lambda d: (vfo.init_state(), demod.init_state(),
                                     audio_fir.init_state()))

@@ -144,8 +144,9 @@ def cmd_run(argv):
     from .utils.tracing import StreamMonitor, annotate, trace
     from .utils.watchdog import StepWatchdog
 
-    step = StepWatchdog(lambda: jax.jit(chan), max_retries=2, backoff_s=2.0,
-                        checkpoint_path=args.checkpoint,
+    from .utils.iq import complex_input, split_iq
+    step = StepWatchdog(lambda: jax.jit(complex_input(chan)), max_retries=2,
+                        backoff_s=2.0, checkpoint_path=args.checkpoint,
                         checkpoint_every=args.checkpoint_every)
     sink = RecorderSink(args.out, int(args.audio_rate),
                         container=args.container,
@@ -162,7 +163,7 @@ def cmd_run(argv):
                 break
             iq = src.read(block)
             with mon.block(block), annotate(f"run:{args.mode}"):
-                state, audio = step(state, jnp.asarray(iq),
+                state, audio = step(state, jnp.asarray(split_iq(iq)),
                                     offset=offset + block)
                 out = audio[0] if isinstance(audio, tuple) else audio
                 out = np.asarray(out)
@@ -225,13 +226,14 @@ def cmd_bank(argv):
     sinks = [RecorderSink(out_dir / f"ch{i}_{int(o):+d}Hz.{ext}",
                           int(args.if_rate), container=args.container)
              for i, o in enumerate(offsets)]
-    step = jax.jit(bank)
+    from .utils.iq import complex_input, split_iq
+    step = jax.jit(complex_input(bank))
     state = bank.init_state()
     mon = StreamMonitor(samplerate=fs)
     for _ in range(args.blocks):
         iq = src.read(block)
         with mon.block(block):
-            state, audio = step(state, jnp.asarray(iq))
+            state, audio = step(state, jnp.asarray(split_iq(iq)))
             audio = np.asarray(audio)
         for i, sink in enumerate(sinks):
             sink.write(audio[i])
@@ -264,11 +266,12 @@ def cmd_spectrum(argv):
     src = _make_source(args)
     fe = IQFrontEnd(src.samplerate, fft_size=args.fft_size, fft_rate=args.fft_rate,
                     fft_window=Window(args.window), block_size=args.block_size)
-    step = jax.jit(fe)
+    from .utils.iq import complex_input, split_iq
+    step = jax.jit(complex_input(fe))
     st = fe.init_state()
     lines = []
     for _ in range(args.blocks):
-        st, (_iq, fft) = step(st, jnp.asarray(src.read(args.block_size)))
+        st, (_iq, fft) = step(st, jnp.asarray(split_iq(src.read(args.block_size))))
         lines.append(np.asarray(fft))
     wf = np.concatenate(lines, axis=0)
     np.save(args.out, wf)

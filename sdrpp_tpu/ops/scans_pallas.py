@@ -1,15 +1,27 @@
-"""Pallas TPU kernels for the per-sample sequential loops (PLL, FastAGC).
+"""Pallas TPU kernels for the per-sample sequential loops (PLL, Costas,
+FastAGC, AGC).
 
 The lax.scan formulations in ops/scans.py pay XLA loop overhead per sample
 (dynamic-update-slice on the stacked outputs, loop bookkeeping). These
-kernels run the recurrence as a tight fori_loop inside ONE pallas_call with
-the loop state in scalar memory and outputs streamed to VMEM — the
-SURVEY §7 mitigation for the "sequential scans bottleneck an otherwise
-vectorized chain" hard part.
+kernels run the recurrence as a tight scalar fori_loop over SMEM-staged
+chunks — the SURVEY §7 mitigation for the "sequential scans bottleneck an
+otherwise vectorized chain" hard part.
+
+Mosaic (real-TPU) lowering constraints shape the design (probed on the
+actual chip):
+- scalar loads/stores are only legal against SMEM refs (a rank-0 store to
+  VMEM fails to lower: "Cannot store scalars to VMEM");
+- SMEM holds roughly 128 KB (32k f32 arrays compile; 512 KB crashes the
+  compiler), so long streams are processed in CHUNK-sized pieces;
+- a pallas grid with SMEM-blocked specs crashes this backend's compiler,
+  so chunking is done OUTSIDE the kernel: one `lax.scan` over [G, CHUNK]
+  reshaped streams whose body is a single ungridded pallas_call threading
+  the (k,) scalar carry through as a normal input/output.
 
 Everything vectorizable stays OUTSIDE the kernel: the PLL's input phases
-(atan2) and output phasors (cos/sin), FastAGC's input amplitudes — the
-kernels only sequence the scalar carries.
+(atan2) and output phasors (cos/sin), FastAGC's input amplitudes, the
+AGC's look-ahead suffix max — the kernels only sequence the scalar
+carries.
 
 Transparent fallback to the lax.scan blocks off-TPU; interpret-mode tests
 pin exact equivalence.
@@ -27,13 +39,70 @@ __all__ = ["pll_phases_pallas", "fast_agc_gains_pallas", "agc_gains_pallas",
            "costas_phases_pallas", "PLLPallas", "FastAGCPallas", "AGCPallas",
            "CostasPallas"]
 
+_CHUNK = 8192  # samples per pallas_call (f32: 32 KB per SMEM stream)
+
 
 def _pallas_on_tpu() -> bool:
     try:
         import jax.experimental.pallas  # noqa: F401
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
+
+
+def _smem_scan_call(make_body, state: jax.Array, streams, n: int,
+                    interpret: bool):
+    """Drive a scalar recurrence over n samples in SMEM-staged chunks.
+
+    make_body(in_refs, out_ref) -> body(i, carry) for fori_loop; carry is
+    a tuple of k scalars matching ``state``'s length. Returns
+    (out [n] f32, fin [k] f32).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k = state.shape[0]
+    nstreams = len(streams)
+    c = min(_CHUNK, max(n, 1))
+    pad = (-n) % c
+    if pad:
+        streams = [jnp.concatenate([s, jnp.zeros(pad, s.dtype)])
+                   for s in streams]
+    total = n + pad
+    g = total // c
+
+    def kernel(state_ref, *refs):
+        in_refs = refs[:nstreams]
+        out_ref, fin_ref = refs[nstreams:nstreams + 2]
+        body = make_body(in_refs, out_ref)
+        carry = jax.lax.fori_loop(
+            0, c, body, tuple(state_ref[j] for j in range(k)))
+        for j in range(k):
+            fin_ref[j] = carry[j]
+
+    chunk_call = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((c,), jnp.float32),
+                   jax.ShapeDtypeStruct((k,), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * (1 + nstreams),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        interpret=interpret,
+    )
+
+    if g == 1:
+        out, fin = chunk_call(state, *streams)
+        return out[:n] if pad else out, fin
+
+    stacked = tuple(s.reshape(g, c) for s in streams)
+
+    def scan_body(carry, xs):
+        out_chunk, fin = chunk_call(carry, *xs)
+        return fin, out_chunk
+
+    fin, outs = jax.lax.scan(scan_body, state, stacked)
+    out = outs.reshape(-1)
+    return out[:n] if pad else out, fin
 
 
 def pll_phases_pallas(in_phases: jax.Array, phase0, freq0, alpha, beta,
@@ -43,9 +112,6 @@ def pll_phases_pallas(in_phases: jax.Array, phase0, freq0, alpha, beta,
     out_phases[t] is the VCO phase BEFORE consuming in_phases[t]
     (reference pll.h:64-70 ordering).
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     n = in_phases.shape[0]
     alpha = np.float32(alpha)
     beta = np.float32(beta)
@@ -53,7 +119,9 @@ def pll_phases_pallas(in_phases: jax.Array, phase0, freq0, alpha, beta,
     max_freq = np.float32(max_freq)
     two_pi = np.float32(2.0) * FL_PI
 
-    def kernel(state_ref, in_ref, out_ref, fin_ref):
+    def make_body(in_refs, out_ref):
+        (in_ref,) = in_refs
+
         def body(t, carry):
             phase, freq = carry
             out_ref[t] = phase
@@ -67,58 +135,38 @@ def pll_phases_pallas(in_phases: jax.Array, phase0, freq0, alpha, beta,
             phase = jnp.where(phase <= -FL_PI, phase + two_pi, phase)
             return (phase, freq)
 
-        phase, freq = jax.lax.fori_loop(
-            0, n, body, (state_ref[0], state_ref[1]))
-        fin_ref[0] = phase
-        fin_ref[1] = freq
+        return body
 
     state = jnp.stack([jnp.asarray(phase0, jnp.float32),
                        jnp.asarray(freq0, jnp.float32)])
-    out, fin = pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct((n,), jnp.float32),
-                   jax.ShapeDtypeStruct((2,), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
-        interpret=interpret,
-    )(state, in_phases.astype(jnp.float32))
+    out, fin = _smem_scan_call(make_body, state,
+                               [in_phases.astype(jnp.float32)], n, interpret)
     return out, fin[0], fin[1]
 
 
 def fast_agc_gains_pallas(amps: jax.Array, gain0, set_point, max_gain, rate,
                           interpret: bool = False):
     """FastAGC gain recurrence -> (gains[t], gain_f); out = x * gains."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     n = amps.shape[0]
     set_point = np.float32(set_point)
     max_gain = np.float32(max_gain)
     rate = np.float32(rate)
 
-    def kernel(state_ref, in_ref, out_ref, fin_ref):
-        def body(t, gain):
+    def make_body(in_refs, out_ref):
+        (in_ref,) = in_refs
+
+        def body(t, carry):
+            (gain,) = carry
             out_ref[t] = gain
             out_amp = in_ref[t] * gain
             gain = jnp.minimum(gain + (set_point - out_amp) * rate, max_gain)
-            return gain
+            return (gain,)
 
-        gain = jax.lax.fori_loop(0, n, body, state_ref[0])
-        fin_ref[0] = gain
+        return body
 
     state = jnp.asarray(gain0, jnp.float32).reshape(1)
-    out, fin = pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct((n,), jnp.float32),
-                   jax.ShapeDtypeStruct((1,), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
-        interpret=interpret,
-    )(state, amps.astype(jnp.float32))
+    out, fin = _smem_scan_call(make_body, state,
+                               [amps.astype(jnp.float32)], n, interpret)
     return out, fin[0]
 
 
@@ -128,14 +176,11 @@ def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
     """Sequential Costas recurrence -> (out_phases, phase_f, freq_f).
 
     The error needs the ROTATED sample (reference costas.h:25-38), so the
-    complex input rides along as re/im planes in VMEM and the kernel
-    rotates each sample by -phase scalar-wise; the output phases let the
-    (vectorized) caller apply the same rotation to produce the mixed-down
-    samples. Bit-equivalence with ops/scans.Costas is pinned by tests.
+    complex input rides along as re/im planes and the kernel rotates each
+    sample by -phase scalar-wise; the output phases let the (vectorized)
+    caller apply the same rotation to produce the mixed-down samples.
+    Bit-equivalence with ops/scans.Costas is pinned by tests.
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     n = re.shape[0]
     alpha = np.float32(alpha)
     beta = np.float32(beta)
@@ -145,7 +190,9 @@ def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
     k8 = np.float32(np.sqrt(2.0) - 1.0)
     one = np.float32(1.0)
 
-    def kernel(state_ref, re_ref, im_ref, out_ref, fin_ref):
+    def make_body(in_refs, out_ref):
+        re_ref, im_ref = in_refs
+
         def body(t, carry):
             phase, freq = carry
             out_ref[t] = phase
@@ -174,24 +221,60 @@ def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
             phase = jnp.where(phase <= -FL_PI, phase + two_pi, phase)
             return (phase, freq)
 
-        phase, freq = jax.lax.fori_loop(
-            0, n, body, (state_ref[0], state_ref[1]))
-        fin_ref[0] = phase
-        fin_ref[1] = freq
+        return body
 
     state = jnp.stack([jnp.asarray(phase0, jnp.float32),
                        jnp.asarray(freq0, jnp.float32)])
-    out, fin = pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct((n,), jnp.float32),
-                   jax.ShapeDtypeStruct((2,), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
-        interpret=interpret,
-    )(state, re.astype(jnp.float32), im.astype(jnp.float32))
+    out, fin = _smem_scan_call(
+        make_body, state,
+        [re.astype(jnp.float32), im.astype(jnp.float32)], n, interpret)
+    return out, fin[0], fin[1]
+
+
+def agc_gains_pallas(amps: jax.Array, suffix_max: jax.Array, amp0, gain0,
+                     set_point, attack, decay, max_gain, max_output_amp,
+                     interpret: bool = False):
+    """Full AGC gain recurrence (ops/scans.AGC enabled branch) -> gains.
+
+    ``suffix_max`` is the precomputed look-ahead clip table (reverse cummax
+    of amps — vectorized outside the kernel)."""
+    n = amps.shape[0]
+    set_point = np.float32(set_point)
+    attack = np.float32(attack)
+    inv_attack = np.float32(1.0) - attack
+    decay = np.float32(decay)
+    inv_decay = np.float32(1.0) - decay
+    max_gain = np.float32(max_gain)
+    max_out = np.float32(max_output_amp)
+
+    def make_body(in_refs, out_ref):
+        amp_ref, smax_ref = in_refs
+
+        def body(t, carry):
+            amp, gain = carry
+            a = amp_ref[t]
+            nonzero = a != 0.0
+            amp_upd = jnp.where(a > amp, amp * inv_attack + a * attack,
+                                amp * inv_decay + a * decay)
+            amp1 = jnp.where(nonzero, amp_upd, amp)
+            gain1 = jnp.where(nonzero,
+                              jnp.minimum(set_point / amp1, max_gain),
+                              np.float32(1.0))
+            clipping = a * gain1 > max_out
+            amp2 = jnp.where(clipping, smax_ref[t], amp1)
+            gain2 = jnp.where(clipping,
+                              jnp.minimum(set_point / amp2, max_gain), gain1)
+            out_ref[t] = gain2
+            return (amp2, gain2)
+
+        return body
+
+    state = jnp.stack([jnp.asarray(amp0, jnp.float32),
+                       jnp.asarray(gain0, jnp.float32)])
+    out, fin = _smem_scan_call(
+        make_body, state,
+        [amps.astype(jnp.float32), suffix_max.astype(jnp.float32)],
+        n, interpret)
     return out, fin[0], fin[1]
 
 
@@ -247,63 +330,6 @@ class FastAGCPallas(FastAGC):
             interpret=self.interpret)
         y = x * gains.astype(x.dtype) if jnp.iscomplexobj(x) else x * gains
         return gain_f, y
-
-
-def agc_gains_pallas(amps: jax.Array, suffix_max: jax.Array, amp0, gain0,
-                     set_point, attack, decay, max_gain, max_output_amp,
-                     interpret: bool = False):
-    """Full AGC gain recurrence (ops/scans.AGC enabled branch) -> gains.
-
-    ``suffix_max`` is the precomputed look-ahead clip table (reverse cummax
-    of amps — vectorized outside the kernel)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n = amps.shape[0]
-    set_point = np.float32(set_point)
-    attack = np.float32(attack)
-    inv_attack = np.float32(1.0) - attack
-    decay = np.float32(decay)
-    inv_decay = np.float32(1.0) - decay
-    max_gain = np.float32(max_gain)
-    max_out = np.float32(max_output_amp)
-
-    def kernel(state_ref, amp_ref, smax_ref, out_ref, fin_ref):
-        def body(t, carry):
-            amp, gain = carry
-            a = amp_ref[t]
-            nonzero = a != 0.0
-            amp_upd = jnp.where(a > amp, amp * inv_attack + a * attack,
-                                amp * inv_decay + a * decay)
-            amp1 = jnp.where(nonzero, amp_upd, amp)
-            gain1 = jnp.where(nonzero,
-                              jnp.minimum(set_point / amp1, max_gain),
-                              np.float32(1.0))
-            clipping = a * gain1 > max_out
-            amp2 = jnp.where(clipping, smax_ref[t], amp1)
-            gain2 = jnp.where(clipping,
-                              jnp.minimum(set_point / amp2, max_gain), gain1)
-            out_ref[t] = gain2
-            return (amp2, gain2)
-
-        amp, gain = jax.lax.fori_loop(0, n, body, (state_ref[0], state_ref[1]))
-        fin_ref[0] = amp
-        fin_ref[1] = gain
-
-    state = jnp.stack([jnp.asarray(amp0, jnp.float32),
-                       jnp.asarray(gain0, jnp.float32)])
-    out, fin = pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct((n,), jnp.float32),
-                   jax.ShapeDtypeStruct((2,), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
-        interpret=interpret,
-    )(state, amps.astype(jnp.float32), suffix_max.astype(jnp.float32))
-    return out, fin[0], fin[1]
 
 
 class AGCPallas(AGC):

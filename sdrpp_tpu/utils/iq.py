@@ -1,0 +1,33 @@
+"""Host<->device IQ transfer helpers.
+
+The axon TPU tunnel cannot transfer complex64 across the host<->device
+boundary in either direction (device_put and readback both raise
+UNIMPLEMENTED), while complex arithmetic INSIDE a jit is fully
+supported. Every entry path that uploads IQ therefore ships split
+float32 [2, n] and forms the complex view in-graph. On CPU the split is
+a free reinterpretation of the interleaved layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["split_iq", "complex_input"]
+
+
+def split_iq(iq: np.ndarray) -> np.ndarray:
+    """complex64 [..., n] -> float32 [2, ..., n] (re, im)."""
+    iq = np.asarray(iq)
+    return np.stack([iq.real.astype(np.float32),
+                     iq.imag.astype(np.float32)])
+
+
+def complex_input(fn):
+    """Wrap a Block-style callable so its IQ arg arrives as split f32
+    and is joined in-graph: wrapped(state, x_split) == fn(state, x)."""
+    import jax
+
+    def wrapped(state, x_split, *a, **kw):
+        return fn(state, jax.lax.complex(x_split[0], x_split[1]), *a, **kw)
+
+    return wrapped

@@ -52,15 +52,17 @@ def speed_test(block, n: int, dtype=jnp.complex64, iters: int = 16,
     counting all leading axes)."""
     rng = np.random.default_rng(seed)
     shape = (*lead_shape, n)
-    if jnp.issubdtype(dtype, jnp.complexfloating):
-        x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)) \
-            .astype(np.complex64)
-    else:
-        x = rng.standard_normal(shape).astype(np.float32)
-    x = jnp.asarray(x)
+    # Complex inputs cross the host->device boundary as split float32
+    # (the axon tunnel cannot device_put complex64; complex math inside
+    # jit is fine) and the complex view is formed in-graph.
+    is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
+    x = jnp.asarray(rng.standard_normal((2, *shape) if is_complex else shape)
+                    .astype(np.float32))
 
     @jax.jit
     def step(state, x):
+        if is_complex:
+            x = jax.lax.complex(x[0], x[1])
         state, y = block(state, x)
         return state, _checksum(y)
 

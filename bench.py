@@ -85,20 +85,32 @@ def _attempt(use_cpu: bool) -> dict:
     n = 1 << 18  # input block (multiple of the 128x decimation)
     assert n % vfo.block_multiple == 0
 
-    # IQ crosses the host->device boundary as split float32 [2, n]: the
-    # axon tunnel cannot transfer complex64 in either direction (device_put
-    # and readback both raise UNIMPLEMENTED), while complex math INSIDE a
-    # jit is fully supported — so the complex view is formed in-graph.
+    # IQ crosses the host->device boundary as split float32: the axon
+    # tunnel cannot transfer complex64 in either direction (device_put and
+    # readback both raise UNIMPLEMENTED), while complex math INSIDE a jit
+    # is fully supported — so the complex view is formed in-graph.
+    # K chain blocks run inside ONE jit via lax.scan: the tunnel adds
+    # 5-30 ms of dispatch latency per executable launch, which would
+    # otherwise dominate the measurement (the on-chip time per block is
+    # well under a millisecond).
+    K = 8
+
     @jax.jit
-    def step(state, x_split):
-        x = jax.lax.complex(x_split[0], x_split[1])
-        vs, y = vfo(state[0], x)
-        qs, y = demod(state[1], y)
-        fs, y = audio_fir(state[2], y)
-        return (vs, qs, fs), jnp.sum(y[..., -2:].astype(jnp.float32))
+    def step(state, xk):
+        def body(st, xs):
+            x = jax.lax.complex(xs[0], xs[1])
+            vs, y = vfo(st[0], x)
+            qs, y = demod(st[1], y)
+            fs, y = audio_fir(st[2], y)
+            # full reduction: a partial slice would let XLA dead-code-
+            # eliminate most of the chain (states only need tail windows)
+            return (vs, qs, fs), jnp.sum(y.astype(jnp.float32))
+
+        state, sums = jax.lax.scan(body, state, xk)
+        return state, jnp.sum(sums)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((K, 2, n)).astype(np.float32))
 
     make_state = jax.jit(lambda d: (vfo.init_state(), demod.init_state(),
                                     audio_fir.init_state()))
@@ -123,10 +135,17 @@ def _attempt(use_cpu: bool) -> dict:
     iters = 16
     tn = run(iters)
     per_iter = max((tn - t1) / (iters - 1), 1e-9)
-    return {"aggregate": channels * n / per_iter, "cal": cal}
+    return {"aggregate": K * channels * n / per_iter, "cal": cal}
 
 
 def main():
+    import os
+
+    # The fused bank chain measures fastest with the direct (lax.conv/MXU)
+    # FIR path on TPU (3.10 Gsamp/s vs 1.48 with overlap-save in the same
+    # chain), while isolated long 1-D FIRs prefer fft — pin direct here,
+    # leave the library default alone elsewhere.
+    os.environ.setdefault("SDRPP_TPU_FIR", "direct")
     use_cpu = "--cpu" in sys.argv
     import jax
 

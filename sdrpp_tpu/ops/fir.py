@@ -31,22 +31,18 @@ from ..utils.blocks import Block
 
 __all__ = ["fir_correlate", "FIR", "DecimatingFIR", "fir_init_tail"]
 
-# 1:1 FIR implementation: "fft" (overlap-save, default off the axon tunnel),
-# "direct" (lax.conv correlation — XLA lowers it onto the MXU), or "auto"
-# (direct on the experimental axon backend, whose XLA FFT op is
-# unimplemented; fft elsewhere).
+# 1:1 FIR implementation: "fft" (overlap-save, the default), "direct"
+# (lax.conv correlation — XLA lowers it onto the MXU), or "auto" (= fft).
+# History: "auto" used to pick direct on the axon tunnel because FFT
+# appeared unimplemented there; the real failure was complex64 host<->
+# device TRANSFER (see utils/iq.py) — measured on the chip, XLA FFT works
+# and overlap-save beats direct ~6x at 1M blocks (1.14 Gsamp/s vs 185
+# Msamp/s for 190 taps).
 FIR_MODE = os.environ.get("SDRPP_TPU_FIR", "auto")
 
 
 def _use_direct() -> bool:
-    if FIR_MODE == "direct":
-        return True
-    if FIR_MODE == "fft":
-        return False
-    try:
-        return jax.default_backend() == "axon"
-    except Exception:  # pragma: no cover
-        return False
+    return FIR_MODE == "direct"
 
 
 def _next_pow2(n: int) -> int:

@@ -30,20 +30,44 @@ import jax.numpy as jnp
 __all__ = ["speed_test", "report_table", "calibrate_sync"]
 
 
-def _timed_serial(fn, state, x, iters: int) -> float:
+def _make_chain(fn):
+    """Wrap a step fn as a single-launch N-iteration serial chain.
+
+    The axon tunnel adds 5-30 ms of launch latency per executable, which
+    would dominate a Python-loop measurement; a lax.scan over the step
+    keeps the whole chain in one launch. Returns chain(state, x, n)
+    (n static). The checksum sum read-back is the only true sync on axon.
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chain(state, x, n):
+        def body(st, _):
+            st, c = fn(st, x)
+            return st, c
+        st, cs = jax.lax.scan(body, state, None, length=n)
+        return st, jnp.sum(cs)
+
+    return chain
+
+
+def _timed(chain, state, x, iters: int, warm: set) -> float:
+    if iters not in warm:
+        float(chain(state, x, iters)[1])  # compile outside the timing
+        warm.add(iters)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, c = fn(state, x)
-    float(c)  # jit-output readback = true sync on axon
+    _, c = chain(state, x, iters)
+    float(c)
     return time.perf_counter() - t0
 
 
 def _checksum(y):
+    """Full reduction over the output — a cheap-looking slice would let
+    XLA dead-code-eliminate the actual kernel work."""
     leaf = jax.tree_util.tree_leaves(y)[0]
-    flat = leaf.reshape(-1)[:4]
-    if jnp.iscomplexobj(flat):
-        flat = flat.real
-    return jnp.sum(flat.astype(jnp.float32))
+    if jnp.iscomplexobj(leaf):
+        leaf = leaf.real
+    return jnp.sum(leaf.astype(jnp.float32))
 
 
 def speed_test(block, n: int, dtype=jnp.complex64, iters: int = 16,
@@ -67,9 +91,16 @@ def speed_test(block, n: int, dtype=jnp.complex64, iters: int = 16,
         return state, _checksum(y)
 
     state = jax.jit(lambda d: block.init_state())(np.float32(0))
-    _timed_serial(step, state, x, 1)  # compile + first sync
-    t1 = _timed_serial(step, state, x, 1)
-    tn = _timed_serial(step, state, x, iters)
+    chain = _make_chain(step)
+    warm: set = set()
+    t1 = _timed(chain, state, x, 1, warm)
+    # Grow the iteration count until the serial chain is comfortably above
+    # the sync/dispatch overhead (tn - t1), or fast kernels read as 0 us.
+    while True:
+        tn = _timed(chain, state, x, iters, warm)
+        if tn - t1 > 0.05 or iters >= 1024:
+            break
+        iters *= 4
     per_iter = max((tn - t1) / (iters - 1), 1e-9)
 
     total = int(np.prod(shape))
@@ -91,9 +122,10 @@ def calibrate_sync(size: int = 2048, iters: int = 16) -> dict:
         y = state @ x
         return y, jnp.sum(y[0, :4])
 
-    _timed_serial(mm, a, a, 1)
-    t1 = _timed_serial(mm, a, a, 1)
-    tn = _timed_serial(mm, a, a, iters)
+    chain = _make_chain(mm)
+    warm: set = set()
+    t1 = _timed(chain, a, a, 1, warm)
+    tn = _timed(chain, a, a, iters, warm)
     per_iter = max((tn - t1) / (iters - 1), 1e-9)
     tflops = 2 * size**3 / per_iter / 1e12
     # The failure mode this guards is sync-not-working (dispatch returns

@@ -42,10 +42,15 @@ def _make_chain(fn):
 
     @functools.partial(jax.jit, static_argnums=2)
     def chain(state, x, n):
-        def body(st, _):
-            st, c = fn(st, x)
-            return st, c
-        st, cs = jax.lax.scan(body, state, None, length=n)
+        # A tiny checksum-derived salt makes each iteration's input
+        # distinct — otherwise a STATELESS block's scan body is loop-
+        # invariant and XLA hoists it to a single evaluation.
+        def body(carry, _):
+            st, salt = carry
+            st, c = fn(st, x + salt.astype(x.dtype))
+            return (st, c * np.float32(1e-20)), c
+        (st, _), cs = jax.lax.scan(
+            body, (state, jnp.float32(0.0)), None, length=n)
         return st, jnp.sum(cs)
 
     return chain

@@ -62,6 +62,16 @@ def main():
         AGC(1.0, 0.01, 0.001, 1e6, 10.0, float("inf")), na, dtype=jnp.float32))
     guard("FastAGC (seq scan)", lambda: speed_test(FastAGC(1.0, 1e6, 0.01), na))
     guard("PLL (seq scan)", lambda: speed_test(PLL(0.01), na))
+
+    # the production models use the Pallas kernels for these on TPU
+    from sdrpp_tpu.ops.scans_pallas import (AGCPallas, FastAGCPallas,
+                                            PLLPallas)
+    guard("AGC (pallas)", lambda: speed_test(
+        AGCPallas(1.0, 0.01, 0.001, 1e6, 10.0, float("inf")), na,
+        dtype=jnp.float32))
+    guard("FastAGC (pallas)", lambda: speed_test(
+        FastAGCPallas(1.0, 1e6, 0.01), na))
+    guard("PLL (pallas)", lambda: speed_test(PLLPallas(0.01), na))
     guard("WFM stereo demod", lambda: speed_test(
         WFMDemod(75000.0, 240000.0), n))
     guard("AM demod (AGC-bound)", lambda: speed_test(
@@ -88,6 +98,19 @@ def main():
             return state, self.s(x)
 
     guard("Spectrum 1M-FFT", lambda: speed_test(_Spec1M(), 1 << 20, iters=10))
+
+    # digital chains: clock recovery is the hardest sequential kernel
+    from sdrpp_tpu.models.digital import GFSKDemod, MeteorDemod
+    from sdrpp_tpu.ops.clock_recovery import MMClockRecovery
+
+    guard("MM clock recovery sps=10", lambda: speed_test(
+        MMClockRecovery(10.0, 0.001, 0.01, 0.01, complex_input=False),
+        na, dtype=jnp.float32))
+    guard("GFSK demod chain", lambda: speed_test(
+        GFSKDemod(4800.0, 48000.0, 2400.0, rrc_tap_count=31, rrc_beta=0.5,
+                  omega_gain=1e-6, mu_gain=0.01), na))
+    guard("Meteor QPSK demod", lambda: speed_test(
+        MeteorDemod(72000.0, 150000.0), na))
 
     print(report_table(results))
 

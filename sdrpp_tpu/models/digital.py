@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import taps as taps_mod
-from ..ops.clock_recovery import MMClockRecovery
+from ..ops.clock_recovery_pallas import MMClockRecoveryPallas as \
+    MMClockRecovery  # Pallas scalar kernel on TPU, lax.scan elsewhere
 from ..ops.fir import FIR
 from ..ops.fm import Quadrature
 from ..ops.scans import FL_PI, _normalize_phase, _pcl_advance, \
@@ -135,6 +136,16 @@ class MeteorCostas(Block):
         return jnp.clip(err, -1.0, 1.0)
 
     def __call__(self, state, x):
+        from ..ops.scans_pallas import _pallas_on_tpu, costas_phases_pallas
+
+        if x.ndim == 1 and _pallas_on_tpu():
+            out_phases, ph, fr = costas_phases_pallas(
+                x.real, x.imag, state["phase"], state["freq"],
+                "meteor" if self.broken else 4, self.alpha, self.beta,
+                self.min_freq, self.max_freq)
+            lo = jax.lax.complex(jnp.cos(-out_phases), jnp.sin(-out_phases))
+            return {"phase": ph, "freq": fr}, x * lo
+
         def step(carry, v):
             phase, freq = carry
             out = v * jax.lax.complex(jnp.cos(-phase), jnp.sin(-phase))

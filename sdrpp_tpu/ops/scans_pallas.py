@@ -170,10 +170,18 @@ def fast_agc_gains_pallas(amps: jax.Array, gain0, set_point, max_gain, rate,
     return out, fin[0]
 
 
+METEOR_PHASES = (0.47439988279190737, 2.1777839908413044,
+                 3.8682349942715186, -0.29067248091319986)
+
+
 def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
-                         order: int, alpha, beta, min_freq, max_freq,
+                         order, alpha, beta, min_freq, max_freq,
                          interpret: bool = False):
     """Sequential Costas recurrence -> (out_phases, phase_f, freq_f).
+
+    ``order``: 2 / 4 / 8, or "meteor" for the Meteor M2-x broken-
+    modulation error (models/digital.MeteorCostas._error: distance to the
+    nearest of 4 fixed constellation phases, scaled by amplitude).
 
     The error needs the ROTATED sample (reference costas.h:25-38), so the
     complex input rides along as re/im planes and the kernel rotates each
@@ -207,12 +215,24 @@ def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
                 sr = jnp.where(rr > 0, one, -one)
                 si = jnp.where(ri > 0, one, -one)
                 err = sr * ri - si * rr
-            else:  # order 8
+            elif order == 8:
                 sr = jnp.where(rr > 0, one, -one)
                 si = jnp.where(ri > 0, one, -one)
                 err = jnp.where(jnp.abs(rr) >= jnp.abs(ri),
                                 sr * ri - si * rr * k8,
                                 sr * ri * k8 - si * rr)
+            else:  # "meteor" broken-modulation error
+                ph = jnp.arctan2(ri, rr)
+                best = np.float32(0.0)
+                best_abs = np.float32(1e9)
+                for p in METEOR_PHASES:
+                    d = ph - np.float32(p)
+                    d = jnp.where(d > FL_PI, d - two_pi, d)
+                    d = jnp.where(d <= -FL_PI, d + two_pi, d)
+                    take = jnp.abs(d) < best_abs
+                    best = jnp.where(take, d, best)
+                    best_abs = jnp.where(take, jnp.abs(d), best_abs)
+                err = best * jnp.sqrt(rr * rr + ri * ri)
             err = jnp.clip(err, -one, one)
             freq = jnp.clip(freq + beta * err, min_freq, max_freq)
             phase = phase + freq + alpha * err

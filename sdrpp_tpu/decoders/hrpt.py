@@ -144,8 +144,10 @@ class HRPTDecoder:
                               costas_bandwidth=(0.06 ** 2) / 2.0,
                               omega_gain=(0.01 ** 2) / 4.0, mu_gain=0.01,
                               omega_rel_limit=0.005)
+        from ..utils.iq import complex_input
         self._state = self.demod.init_state()
-        self._step = jax.jit(self.demod)
+        # IQ uploads as split float32 (axon cannot device_put complex64)
+        self._step = jax.jit(complex_input(self.demod))
         # BPSK Costas has a 180-degree lock ambiguity: run the deframer
         # on both polarities and take whichever finds frames.
         self.deframer = HRPTDeframer()
@@ -154,9 +156,10 @@ class HRPTDecoder:
     def process(self, iq: np.ndarray) -> list[HRPTFrame]:
         import jax.numpy as jnp
 
-        self._state, (sym, valid) = self._step(self._state,
-                                               jnp.asarray(iq))
+        from ..utils.iq import split_iq, to_host
+        self._state, (sym, valid) = self._step(
+            self._state, jnp.asarray(split_iq(iq)))
         nv = int(np.asarray(valid).sum())
-        bits = (np.real(np.asarray(sym)[:nv]) > 0.0).astype(np.uint8)
+        bits = (np.real(to_host(sym)[:nv]) > 0.0).astype(np.uint8)
         return (self.deframer.process(bits)
                 + self.deframer_inv.process(bits ^ 1))

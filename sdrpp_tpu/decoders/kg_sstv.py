@@ -136,7 +136,9 @@ class KGSSTVDecoder:
                        "rrc": self.rrc.init_state(),
                        "recov": self.recov.init_state()}
 
-        def _step(st, x):
+        def _step(st, xs):
+            import jax as _jax
+            x = _jax.lax.complex(xs[0], xs[1])
             ds, y = self.demod(st["demod"], x)
             fs_, y = self.rrc(st["rrc"], y)
             ms, (sym, valid) = self.recov(st["recov"], y)
@@ -147,6 +149,9 @@ class KGSSTVDecoder:
     def process(self, iq: np.ndarray) -> list[bytes]:
         import jax.numpy as jnp
 
-        self._state, sym, valid = self._step(self._state, jnp.asarray(iq))
+        from ..utils.iq import split_iq
+
+        self._state, sym, valid = self._step(self._state,
+                                             jnp.asarray(split_iq(iq)))
         nv = int(np.asarray(valid).sum())
         return self.deframer.process(np.asarray(sym)[:nv])

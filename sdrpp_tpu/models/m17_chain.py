@@ -54,7 +54,15 @@ class M17Decoder:
         return self.voice.receiving
 
     def process(self, iq: np.ndarray):
-        self._state, (symbols, valid) = self.demod(self._state, iq)
+        import jax
+        import jax.numpy as jnp
+
+        from ..utils.iq import complex_input, split_iq
+
+        if not hasattr(self, "_step"):
+            self._step = jax.jit(complex_input(self.demod))
+        self._state, (symbols, valid) = self._step(
+            self._state, jnp.asarray(split_iq(iq)))
         nsym = int(np.asarray(valid).sum())
         symbols = np.asarray(symbols)[:nsym].astype(np.float32)
         self.last_symbols = symbols

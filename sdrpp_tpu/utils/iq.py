@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["split_iq", "complex_input"]
+__all__ = ["split_iq", "complex_input", "to_host"]
 
 
 def split_iq(iq: np.ndarray) -> np.ndarray:
@@ -20,6 +20,21 @@ def split_iq(iq: np.ndarray) -> np.ndarray:
     iq = np.asarray(iq)
     return np.stack([iq.real.astype(np.float32),
                      iq.imag.astype(np.float32)])
+
+
+def to_host(x) -> np.ndarray:
+    """Device -> host readback that avoids the axon c64 transfer bug:
+    complex arrays are split to float32 planes by a tiny jit and rejoined
+    on host; everything else is a plain np.asarray."""
+    import jax
+    import jax.numpy as jnp
+
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
+        planes = np.asarray(jax.jit(
+            lambda v: jnp.stack([v.real.astype(jnp.float32),
+                                 v.imag.astype(jnp.float32)]))(x))
+        return planes[0] + 1j * planes[1]
+    return np.asarray(x)
 
 
 def complex_input(fn):

@@ -126,7 +126,8 @@ def cmd_run(argv):
     block = max(bm, (args.block_size // bm) * bm)
     log.info(f"mode={args.mode} fs={fs:g} block={block} -> audio {args.audio_rate:g}")
 
-    state = chan.init_state()
+    from .utils.iq import device_state
+    state = device_state(chan.init_state)
     offset = 0
     if args.resume and args.checkpoint:
         try:
@@ -228,7 +229,8 @@ def cmd_bank(argv):
              for i, o in enumerate(offsets)]
     from .utils.iq import complex_input, split_iq
     step = jax.jit(complex_input(bank))
-    state = bank.init_state()
+    from .utils.iq import device_state
+    state = device_state(bank.init_state)
     mon = StreamMonitor(samplerate=fs)
     for _ in range(args.blocks):
         iq = src.read(block)
@@ -385,10 +387,12 @@ def cmd_decode(argv):
     src = _make_source(args)
     fs = src.samplerate
 
+    from .utils.iq import device_state
+
     vfo = None
     if fs != target or args.offset:
         vfo = RxVFO(fs, target, bandwidth=target, offset=args.offset)
-        vstate = vfo.init_state()
+        vstate = device_state(vfo.init_state)
 
     if args.mode == "m17":
         from .models.m17_chain import M17Decoder

@@ -225,8 +225,9 @@ class Falcon9Decoder:
         self.deframe = Deframer(FRAME_BITS, SYNC_BITS)
         self.rs = FalconRS()
         self.pkt = FalconPacketSync()
-        self._dstate = self.demod.init_state()
-        self._rstate = self.recov.init_state()
+        from ..utils.iq import device_state
+        self._dstate = device_state(self.demod.init_state)
+        self._rstate = device_state(self.recov.init_state)
 
         def _step(ds, rs_, xs):
             import jax as _jax

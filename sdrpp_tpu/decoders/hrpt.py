@@ -144,8 +144,8 @@ class HRPTDecoder:
                               costas_bandwidth=(0.06 ** 2) / 2.0,
                               omega_gain=(0.01 ** 2) / 4.0, mu_gain=0.01,
                               omega_rel_limit=0.005)
-        from ..utils.iq import complex_input
-        self._state = self.demod.init_state()
+        from ..utils.iq import complex_input, device_state
+        self._state = device_state(self.demod.init_state)
         # IQ uploads as split float32 (axon cannot device_put complex64)
         self._step = jax.jit(complex_input(self.demod))
         # BPSK Costas has a 180-degree lock ambiguity: run the deframer

@@ -131,10 +131,12 @@ class KGSSTVDecoder:
         self.rrc = FIR(rrc, dtype=jnp.float32)
         self.recov = MMClockRecovery(samplerate / BAUDRATE, 1e-6, 0.01,
                                      0.01, complex_input=False)
+        from ..utils.iq import device_state
         self.deframer = KGSSTVDeframer()
-        self._state = {"demod": self.demod.init_state(),
-                       "rrc": self.rrc.init_state(),
-                       "recov": self.recov.init_state()}
+        self._state = device_state(lambda: {
+            "demod": self.demod.init_state(),
+            "rrc": self.rrc.init_state(),
+            "recov": self.recov.init_state()})
 
         def _step(st, xs):
             import jax as _jax

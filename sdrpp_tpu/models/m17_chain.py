@@ -42,7 +42,8 @@ class M17Decoder:
                                rrc_beta=mf.M17_RRC_ALPHA,
                                omega_gain=1e-6, mu_gain=0.01,
                                omega_rel_limit=0.01)
-        self._state = self.demod.init_state()
+        from ..utils.iq import device_state
+        self._state = device_state(self.demod.init_state)
         self.demux = mf.FrameDemux()
         self.lich = mf.LICHAssembler()
         self.voice = M17VoiceDecoder()

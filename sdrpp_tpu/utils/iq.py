@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["split_iq", "complex_input", "to_host"]
+__all__ = ["split_iq", "complex_input", "to_host", "device_state"]
 
 
 def split_iq(iq: np.ndarray) -> np.ndarray:
@@ -20,6 +20,15 @@ def split_iq(iq: np.ndarray) -> np.ndarray:
     iq = np.asarray(iq)
     return np.stack([iq.real.astype(np.float32),
                      iq.imag.astype(np.float32)])
+
+
+def device_state(init_fn):
+    """Create Block state ON DEVICE: eager creation of complex arrays
+    (even jnp.zeros) trips the axon c64-transfer bug, so state
+    construction runs under jit."""
+    import jax
+
+    return jax.jit(init_fn)()
 
 
 def to_host(x) -> np.ndarray:

@@ -193,7 +193,8 @@ def cmd_bank(argv):
                    help="comma-separated VFO offsets in Hz; use the "
                         "--offsets=-200e3,0,150e3 form when the first "
                         "offset is negative")
-    p.add_argument("--mode", default="nfm", choices=["nfm", "am", "usb", "lsb", "cw"])
+    p.add_argument("--mode", default="nfm",
+                   choices=["nfm", "am", "usb", "lsb", "cw", "wfm"])
     p.add_argument("--bandwidth", type=float, default=12500.0)
     p.add_argument("--if-rate", type=float, default=48000.0)
     p.add_argument("--squelch", type=float, default=None)

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.analog import AMDemod, CWDemod, NFMDemod, SSBDemod
+from ..models.analog import AMDemod, CWDemod, NFMDemod, SSBDemod, \
+    WFMDemod
 from ..ops import taps as taps_mod
 from ..ops.fir import FIR
 from ..ops.mix import FrequencyXlatorBank
@@ -81,6 +82,11 @@ _DEMODS = {
     "lsb": lambda rate, bw, ls: SSBDemod("lsb", bandwidth=bw, samplerate=rate,
                                          lead_shape=ls),
     "cw": lambda rate, bw, ls: CWDemod(samplerate=rate, lead_shape=ls),
+    # broadcast FM stereo: demod at the IF rate; the bank resamples the
+    # stereo pair to the audio rate afterwards (radio module: WFM IF is
+    # 240 kHz, wfm.h:246)
+    "wfm": lambda rate, bw, ls: WFMDemod(deviation=bw / 2.0,
+                                         samplerate=rate, lead_shape=ls),
 }
 
 
@@ -93,21 +99,38 @@ class ScannerBank(Block):
 
     def __init__(self, offsets_hz, in_samplerate: float, mode: str = "usb",
                  if_rate: float = 48000.0, bandwidth: float = 2700.0,
-                 squelch_level: float | None = None):
+                 squelch_level: float | None = None,
+                 audio_rate: float = 48000.0):
         self.channels = len(np.asarray(offsets_hz))
+        self.mode = mode
         ls = (self.channels,)
         self.vfo = VFOBank(offsets_hz, in_samplerate, if_rate,
                            min(bandwidth, if_rate))
         self.squelch = (Squelch(squelch_level, lead_shape=ls)
                         if squelch_level is not None else None)
         self.demod = _DEMODS[mode](if_rate, bandwidth, ls)
+        # WFM demodulates stereo at the IF rate (240k); resample the
+        # stereo planes down to the audio rate.
+        self.af = None
+        if mode == "wfm" and audio_rate != if_rate:
+            self.af = RationalResampler(if_rate, audio_rate,
+                                        dtype=jnp.float32,
+                                        lead_shape=(self.channels, 2))
         self.block_multiple = self.vfo.block_multiple
+        if self.af is not None:
+            # input block must also produce an IF block divisible by the
+            # AF stage's multiple
+            lcm = np.lcm(self.vfo.block_multiple,
+                         self.af.block_multiple
+                         * round(in_samplerate / if_rate))
+            self.block_multiple = int(lcm)
 
     def init_state(self):
         return {
             "vfo": self.vfo.init_state(),
             "squelch": self.squelch.init_state() if self.squelch else (),
             "demod": self.demod.init_state(),
+            "af": self.af.init_state() if self.af else (),
         }
 
     def __call__(self, state, x):
@@ -116,7 +139,13 @@ class ScannerBank(Block):
         if self.squelch is not None:
             ss, y = self.squelch(state["squelch"], y)
         ds, audio = self.demod(state["demod"], y)
-        return {"vfo": vs, "squelch": ss, "demod": ds}, audio
+        afs = ()
+        if self.af is not None:
+            # [C, n, 2] stereo -> [C, 2, n] planes -> resample -> back
+            planes = jnp.swapaxes(audio, -1, -2)
+            afs, planes = self.af(state["af"], planes)
+            audio = jnp.swapaxes(planes, -1, -2)
+        return {"vfo": vs, "squelch": ss, "demod": ds, "af": afs}, audio
 
     def shard(self, mesh, state):
         """Place the carried state with the channel axis sharded over

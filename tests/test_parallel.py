@@ -108,3 +108,48 @@ def test_multihost_single_process_path():
     audio = rx.process_block(iq)
     assert audio.shape[0] == 16
     assert len(audio.sharding.device_set) == len(jax.devices())
+
+
+def test_scanner_bank_wfm_stereo_stations():
+    """Multi-station broadcast-FM stereo bank: each channel recovers its
+    own L/R tones with >20 dB separation."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdrpp_tpu.parallel.vfo_bank import ScannerBank
+
+    fs = 1920000.0
+    n = 1 << 19
+    t = np.arange(n) / fs
+    offsets = np.array([-500000.0, 0.0, 400000.0])
+    tones = [(1000.0, 2000.0), (700.0, 1500.0), (1200.0, 300.0)]
+    iq = np.zeros(n, np.complex64)
+    for off, (fl, fr) in zip(offsets, tones):
+        L = 0.8 * np.sin(2 * np.pi * fl * t)
+        R = 0.8 * np.sin(2 * np.pi * fr * t)
+        mpx = (0.45 * (L + R)
+               + 0.45 * (L - R) * np.sin(2 * np.pi * 38000.0 * t)
+               + 0.1 * np.sin(2 * np.pi * 19000.0 * t))
+        iq += (np.exp(1j * (2 * np.pi * off * t
+                            + np.cumsum(2 * np.pi * 75000.0 * mpx / fs)))
+               / 3).astype(np.complex64)
+
+    bank = ScannerBank(offsets, fs, mode="wfm", if_rate=240000.0,
+                       bandwidth=200000.0)
+    block = (n // bank.block_multiple) * bank.block_multiple
+    st = bank.init_state()
+    st, audio = jax.jit(bank)(st, jnp.asarray(iq[:block]))
+    audio = np.asarray(audio)
+    assert audio.shape[0] == 3 and audio.shape[-1] == 2
+
+    def tone_p(x, f):
+        sp = np.abs(np.fft.rfft(x * np.hanning(len(x)))) ** 2
+        k = int(round(f * len(x) / 48000.0))
+        return sp[k - 3:k + 4].sum()
+
+    for c, (fl, fr) in enumerate(tones):
+        L = audio[c, 4800:, 0].astype(np.float64)
+        R = audio[c, 4800:, 1].astype(np.float64)
+        sep_l = 10 * np.log10(tone_p(L, fl) / max(tone_p(L, fr), 1e-12))
+        sep_r = 10 * np.log10(tone_p(R, fr) / max(tone_p(R, fl), 1e-12))
+        assert sep_l > 20 and sep_r > 20, (c, sep_l, sep_r)

@@ -118,12 +118,13 @@ class ScannerBank(Block):
                                         lead_shape=(self.channels, 2))
         self.block_multiple = self.vfo.block_multiple
         if self.af is not None:
-            # input block must also produce an IF block divisible by the
-            # AF stage's multiple
-            lcm = np.lcm(self.vfo.block_multiple,
-                         self.af.block_multiple
-                         * round(in_samplerate / if_rate))
-            self.block_multiple = int(lcm)
+            # The input block must produce an IF count divisible by the AF
+            # stage's multiple: one vfo-multiple of input yields q IF
+            # samples, so the input needs af_bm/gcd(q, af_bm) of them.
+            q = self.vfo.out_count(self.vfo.block_multiple)
+            af_bm = self.af.block_multiple
+            self.block_multiple = (self.vfo.block_multiple
+                                   * (af_bm // int(np.gcd(q, af_bm))))
 
     def init_state(self):
         return {

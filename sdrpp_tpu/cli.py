@@ -28,8 +28,11 @@ def _add_source_args(p):
     p.add_argument("--source", required=True,
                    help="IQ WAV path, 'test:<samplerate>', "
                         "'rtltcp:<host>:<port>[:<samplerate>]', "
-                        "'spyserver:<host>:<port>', or "
-                        "'kiwisdr:<host>:<port>[:<freq_hz>]'")
+                        "'spyserver:<host>:<port>', "
+                        "'kiwisdr:<host>:<port>[:<freq_hz>]', "
+                        "'hpsdr:<host>[:<port>[:<samplerate>]]', "
+                        "'hermes:<host>[:<port>[:<samplerate>]]', or "
+                        "'rfspace:<host>:<port>[:<samplerate>]'")
     p.add_argument("--tone", type=float, default=100000.0,
                    help="test source tone offset Hz")
 
@@ -57,6 +60,24 @@ def _make_source(args):
         parts = src.split(":")
         freq = float(parts[3]) if len(parts) > 3 else 10000000.0
         return KiwiSDRSource(parts[1], int(parts[2]), freq_hz=freq)
+    if src.startswith(("hpsdr:", "hermes:")):
+        from .io.hpsdr import HermesLite2Source, HpsdrSource
+        parts = src.split(":")
+        port = int(parts[2]) if len(parts) > 2 else 1024
+        cls = HermesLite2Source if src.startswith("hermes:") else HpsdrSource
+        sr = float(parts[3]) if len(parts) > 3 else \
+            (384000.0 if cls is HermesLite2Source else 192000.0)
+        s = cls(parts[1], port, samplerate=sr)
+        s.start()
+        return s
+    if src.startswith("rfspace:"):
+        from .io.rfspace import RFspaceSource
+        parts = src.split(":")
+        s = RFspaceSource(parts[1], int(parts[2]))
+        if len(parts) > 3:
+            s.set_samplerate(float(parts[3]))
+        s.start()
+        return s
     return FileSource(src, loop=False)
 
 

@@ -28,7 +28,7 @@ from ..io.sources import FileSource
 from .vfo_bank import ScannerBank
 
 __all__ = ["distributed_init", "global_channel_mesh", "MultiHostReceiver",
-           "host_shard_paths"]
+           "host_shard_paths", "put_global", "gather_global"]
 
 
 def distributed_init(coordinator: str | None = None, num_processes: int = 1,
@@ -54,6 +54,32 @@ def host_shard_paths(paths, process_index: int, process_count: int):
     return list(paths)[process_index::process_count]
 
 
+def put_global(arr, sharding):
+    """Place an array onto a (possibly multi-process) sharding.
+
+    Single process: plain device_put.  Multi-process: assemble the global
+    array from the per-process copy with make_array_from_process_local_data
+    (each host passes the full logical array; JAX slices out its
+    addressable shards) — device_put cannot target non-addressable devices.
+    """
+    if jax.process_count() > 1:
+        arr = np.asarray(arr)
+        # global_shape == local shape tells JAX the data is the full
+        # logical array (replicated on every host) and each process
+        # slices out its own addressable shards.
+        return jax.make_array_from_process_local_data(
+            sharding, arr, global_shape=arr.shape)
+    return jax.device_put(arr, sharding)
+
+
+def gather_global(x):
+    """Fetch a (possibly non-fully-addressable) array to every host."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 class MultiHostReceiver:
     """Channel-sharded scanner bank spanning all hosts' devices.
 
@@ -74,7 +100,7 @@ class MultiHostReceiver:
                                 if_rate=if_rate, bandwidth=bandwidth)
         self.block_multiple = self.bank.block_multiple
         self._state, self._in_sh, self._out_sh = self.bank.shard(
-            self.mesh, self.bank.init_state())
+            self.mesh, self.bank.init_state(), put=put_global)
         self._step = jax.jit(self.bank, in_shardings=(None, self._in_sh),
                              out_shardings=(None, self._out_sh))
 
@@ -82,9 +108,13 @@ class MultiHostReceiver:
         """Feed one wideband block (identical logical content on each host —
         e.g. every host reading its copy/shard of the capture stream).
         Returns the audio shard local to this host's devices."""
-        x = jax.device_put(jnp.asarray(local_iq), self._in_sh)
+        x = put_global(np.asarray(local_iq), self._in_sh)
         self._state, audio = self._step(self._state, x)
         return audio
+
+    def gather_audio(self, audio) -> np.ndarray:
+        """Assemble the full [channels, n] audio on every host."""
+        return gather_global(audio)
 
     def run_file(self, path, num_blocks: int, block_size: int):
         src = FileSource(path)

@@ -148,16 +148,23 @@ class ScannerBank(Block):
             audio = jnp.swapaxes(planes, -1, -2)
         return {"vfo": vs, "squelch": ss, "demod": ds, "af": afs}, audio
 
-    def shard(self, mesh, state):
+    def shard(self, mesh, state, put=None):
         """Place the carried state with the channel axis sharded over
-        ``mesh``; returns (sharded_state, in_sharding, out_sharding)."""
+        ``mesh``; returns (sharded_state, in_sharding, out_sharding).
+
+        ``put(array, sharding)`` overrides the placement primitive — the
+        multi-host path passes jax.make_array_from_process_local_data so
+        global arrays assemble from per-process data (multihost.py)."""
+        if put is None:
+            put = jax.device_put
+
         def shard_leaf(leaf):
             if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
                     leaf.shape[0] == self.channels:
                 spec = P("channels", *([None] * (leaf.ndim - 1)))
             else:
                 spec = P()
-            return jax.device_put(leaf, NamedSharding(mesh, spec))
+            return put(leaf, NamedSharding(mesh, spec))
 
         sharded = jax.tree_util.tree_map(shard_leaf, state)
         in_sh = NamedSharding(mesh, P())  # wideband input replicated

@@ -1,0 +1,76 @@
+"""Real multi-process jax.distributed test (fake 2-host pod on CPU).
+
+SURVEY §2.15 "multi-host ingest": the reference has no multi-node story
+beyond its TCP server; the TPU build scales channels across hosts with
+jax.distributed + a global mesh. This test launches TWO separate Python
+processes (4 virtual CPU devices each -> an 8-device global mesh),
+runs the channel-sharded MultiHostReceiver in both, and checks the
+gathered audio matches the single-process unsharded result bit-for-bit
+shape-wise and numerically to float32 tolerance — including carried
+state across two blocks.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_scanner_bank():
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_multihost_worker.py")
+    out_path = os.path.join(tempfile.mkdtemp(), "mh_audio.npz")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), out_path],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o}"
+    assert os.path.exists(out_path)
+    got = np.load(out_path)
+    n = int(got["n"])
+
+    # Single-process unsharded reference with the same config + input.
+    from sdrpp_tpu.parallel.vfo_bank import ScannerBank
+
+    channels = 8
+    fs_in = 256000.0
+    offsets = np.linspace(-100000.0, 100000.0, channels)
+    bank = ScannerBank(offsets, fs_in, mode="nfm", if_rate=32000.0,
+                       bandwidth=12500.0)
+    rng = np.random.default_rng(1234)
+    t = np.arange(2 * n) / fs_in
+    sig = sum(0.1 * np.exp(2j * np.pi * f * t)
+              for f in (-100000.0, -20000.0, 60000.0))
+    iq = (sig + 0.01 * (rng.standard_normal(2 * n)
+                        + 1j * rng.standard_normal(2 * n))).astype(np.complex64)
+    state = bank.init_state()
+    state, ref1 = bank(state, iq[:n])
+    state, ref2 = bank(state, iq[n:])
+
+    assert got["audio1"].shape == np.asarray(ref1).shape
+    np.testing.assert_allclose(got["audio1"], np.asarray(ref1),
+                               atol=1e-5, rtol=1e-5)
+    # second block exercises the sharded carry hand-off
+    np.testing.assert_allclose(got["audio2"], np.asarray(ref2),
+                               atol=1e-5, rtol=1e-5)

@@ -29,9 +29,32 @@ from ..ops.clock_recovery import _interp_bank
 from ..ops.scans import FL_PI, _critically_damped, _normalize_phase
 from ..utils.blocks import Block
 
-__all__ = ["LineSync", "ChromaPLL"]
+__all__ = ["LineSync", "ChromaPLL", "FrameAssembler", "ATVDecoder",
+           "chroma_taps", "LINE_LEN", "FRAME_LINES", "SAMPLE_RATE",
+           "CHROMA_SUBCARRIER", "A_PHASE", "B_PHASE"]
 
 LINE_LEN = 720
+FRAME_LINES = 625                       # PAL (main.cpp:159-166)
+SAMPLE_RATE = 625.0 * 720.0 * 25.0      # main.cpp:32 SAMPLE_RATE
+CHROMA_SUBCARRIER = 4433618.75          # PAL chroma, main.cpp:48
+
+# PAL colour-burst reference phases alternate per line (chroma_pll.h:9-10).
+A_PHASE = (135.0 / 180.0) * float(FL_PI)
+B_PHASE = (-135.0 / 180.0) * float(FL_PI)
+
+
+def chroma_taps() -> np.ndarray:
+    """231-tap complex chroma band-pass FIR (chrominance_filter.h, pure
+    coefficient data extracted by tools/extract_chroma_taps.py)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "atv_chroma_taps.npz")
+    return np.load(path)["taps"]
+
+
+CHROMA_FIR_DELAY = (231 - 1) // 2
+# TODO note kept from chroma_pll.h:5: "should be 60" but 63 is what ships.
+BURST_START = 63 + CHROMA_FIR_DELAY
+BURST_END = BURST_START + 28
 
 
 class LineSync(Block):
@@ -145,10 +168,15 @@ class ChromaPLL(Block):
         out = seg * jax.lax.complex(jnp.cos(-ph), jnp.sin(-ph))
         return ph[-1] + freq if seg.shape[-1] else phase0, out
 
-    def __call__(self, state, lines):
+    def __call__(self, state, lines, ref_phases=None):
         bs, be = self.burst_start, self.burst_end
+        if ref_phases is None:
+            ref_phases = jnp.full(lines.shape[0], self.ref_phase, jnp.float32)
+        else:
+            ref_phases = jnp.asarray(ref_phases, jnp.float32)
 
-        def line_step(carry, line):
+        def line_step(carry, xs):
+            line, ref_phase = xs
             phase, freq = carry
             # Pre-burst free run
             phase1, pre = self._mix(phase, freq, line[:bs])
@@ -158,7 +186,7 @@ class ChromaPLL(Block):
                 ph, fr = c
                 out = v * jax.lax.complex(jnp.cos(-ph), jnp.sin(-ph))
                 err = _normalize_phase(jnp.arctan2(out.imag, out.real)
-                                       - self.ref_phase)
+                                       - ref_phase)
                 fr = jnp.clip(fr + self.beta * err, self.min_freq, self.max_freq)
                 ph = ph + fr + self.alpha * err
                 ph = _normalize_phase(jnp.mod(ph + FL_PI, 2 * FL_PI) - FL_PI)
@@ -172,5 +200,144 @@ class ChromaPLL(Block):
             return (phase3, freq2), jnp.concatenate([pre, burst, post])
 
         (ph_f, fr_f), out = jax.lax.scan(line_step,
-                                         (state["phase"], state["freq"]), lines)
+                                         (state["phase"], state["freq"]),
+                                         (lines, ref_phases))
         return {"phase": ph_f, "freq": fr_f}, out
+
+
+class FrameAssembler:
+    """Vertical scan + vsync detection + pixel rendering (host side).
+
+    Mirrors the reference handler's per-line logic (main.cpp:129-196):
+    each 720-sample line is rendered as ``clamp((v - min_level) * 255 /
+    span_level)`` into a 625-line frame; the vertical position advances
+    per line and flips (field toggle + frame emit) on rollover or when
+    the 10-bit vsync history over the two half-line sync means matches
+    0b0000011111.  ``plan()`` runs the luma-only part first so the
+    chroma PLL can be batched with the correct per-line PAL phase flags
+    (aphase = (ypos odd) ^ even_frame, main.cpp:139).
+    """
+
+    def __init__(self, min_level: float = 0.0, span_level: float = 1.0,
+                 sync_level: float = -0.06):
+        self.min_level = float(min_level)
+        self.span_level = float(span_level)
+        self.sync_level = float(sync_level)
+        self.ypos = 0
+        self.even_frame = False
+        self.sync_history = 0
+        self._frame = np.zeros((FRAME_LINES, LINE_LEN, 2), np.uint8)
+        self.frames: list[np.ndarray] = []
+
+    def plan(self, luma_lines: np.ndarray):
+        """Advance the vertical-scan state over luma lines.
+
+        Returns (ypos[L], aphase[L], flip_after[L]): the line positions
+        and PAL burst-phase flags to use for this batch, and where frame
+        flips happen (rollover or vsync trigger).
+        """
+        L = len(luma_lines)
+        ypos = np.zeros(L, np.int32)
+        aphase = np.zeros(L, bool)
+        flip_after = np.zeros(L, bool)
+        for i, line in enumerate(luma_lines):
+            ypos[i] = self.ypos
+            aphase[i] = ((self.ypos % 2) == 1) ^ self.even_frame
+            self.ypos += 1
+            rollover = self.ypos >= FRAME_LINES
+            if rollover:
+                self.even_frame = not self.even_frame
+                self.ypos = 0
+                flip_after[i] = True
+            # vsync levels: means of the two half-line sync regions
+            # (main.cpp:168-177; the reference divides by 305)
+            sync0 = float(np.sum(line[:306])) / 305.0
+            sync1 = float(np.sum(line[360:666])) / 305.0
+            self.sync_history >>= 2
+            self.sync_history |= ((int(sync1 < self.sync_level) << 9)
+                                  | (int(sync0 < self.sync_level) << 8))
+            if not rollover and self.sync_history == 0b0000011111:
+                self.even_frame = not self.even_frame
+                self.ypos = 0
+                flip_after[i] = True
+        return ypos, aphase, flip_after
+
+    def commit(self, mixed_lines: np.ndarray, ypos: np.ndarray,
+               flip_after: np.ndarray):
+        """Render PLL-mixed lines at the planned positions; emit a frame
+        copy at every flip (the reference's img.swap())."""
+        scale = 255.0 / self.span_level
+        re = np.clip((mixed_lines.real - self.min_level) * scale, 0, 255)
+        im = np.clip((mixed_lines.imag - self.min_level) * scale, 0, 255)
+        for i in range(len(mixed_lines)):
+            self._frame[ypos[i], :, 0] = re[i].astype(np.uint8)
+            self._frame[ypos[i], :, 1] = im[i].astype(np.uint8)
+            if flip_after[i]:
+                self.frames.append(self._frame.copy())
+        return self.frames
+
+    def take_frames(self) -> list[np.ndarray]:
+        out, self.frames = self.frames, []
+        return out
+
+
+class ATVDecoder:
+    """Full ATV receive pipeline (decoder_modules/atv_decoder/src/main.cpp):
+
+    quadrature FM (dev = fs/2) -> LineSync(omega=1, 1e-6, mu 1.0, ±5%)
+    -> [real->complex -> 231-tap chroma band-pass -> ChromaPLL @ 4.4336
+    MHz ±10% with per-line PAL phase] -> FrameAssembler.
+
+    ``process(iq)`` consumes complex64 baseband at 11.25 Msps and returns
+    any completed [625, 720, 2] uint8 frames.
+    """
+
+    def __init__(self, samplerate: float = SAMPLE_RATE,
+                 min_level: float = 0.0, span_level: float = 1.0):
+        from ..ops.fir import fir_correlate
+        from ..ops.fm import Quadrature
+
+        self.samplerate = float(samplerate)
+        self.quad = Quadrature(self.samplerate / 2.0, self.samplerate)
+        self.sync = LineSync(1.0, omega_gain=1e-6, mu_gain=1.0,
+                             omega_rel_limit=0.05)
+        taps = chroma_taps()
+        w0 = 2.0 * np.pi * CHROMA_SUBCARRIER / self.samplerate
+        self.pll = ChromaPLL(0.01, LINE_LEN, BURST_START, BURST_END,
+                             init_freq=w0, min_freq=w0 * 0.9,
+                             max_freq=w0 * 1.1)
+        self.assembler = FrameAssembler(min_level, span_level)
+        self._fir_correlate = fir_correlate
+        self._taps = jnp.asarray(taps, jnp.complex64)
+        self._fir_state = jnp.zeros(len(taps) - 1, jnp.complex64)
+        self._front = jax.jit(self._front_fn)
+        self._chroma = jax.jit(self._chroma_fn)
+        self.state = {"quad": self.quad.init_state(),
+                      "sync": self.sync.init_state(),
+                      "pll": self.pll.init_state()}
+
+    def _front_fn(self, qs, ss, x):
+        qs, y = self.quad(qs, x)
+        ss, (lines, valid) = self.sync(ss, y)
+        return qs, ss, lines, valid
+
+    def _chroma_fn(self, fs, ps, lines, ref_phases):
+        flat = lines.reshape(-1).astype(jnp.complex64)
+        fs, chroma = self._fir_correlate(fs, flat, self._taps)
+        ps, mixed = self.pll(ps, chroma.reshape(lines.shape), ref_phases)
+        return fs, ps, mixed
+
+    def process(self, iq: np.ndarray) -> list[np.ndarray]:
+        self.state["quad"], self.state["sync"], lines, valid = \
+            self._front(self.state["quad"], self.state["sync"],
+                        jnp.asarray(iq))
+        luma = np.asarray(lines)[np.asarray(valid)]
+        if not len(luma):
+            return []
+        ypos, aphase, flip_after = self.assembler.plan(luma)
+        ref_phases = np.where(aphase, A_PHASE, B_PHASE).astype(np.float32)
+        self._fir_state, self.state["pll"], mixed = self._chroma(
+            self._fir_state, self.state["pll"], jnp.asarray(luma),
+            jnp.asarray(ref_phases))
+        self.assembler.commit(np.asarray(mixed), ypos, flip_after)
+        return self.assembler.take_frames()

@@ -89,3 +89,87 @@ def test_chroma_pll_locks_burst():
     assert np.abs(np.angle(late_burst)).mean() < 0.2
     # Tracked frequency approaches the true subcarrier rate.
     assert abs(float(st["freq"]) - f_sub) < 0.01
+
+
+def test_frame_assembler_vsync_and_rollover():
+    from sdrpp_tpu.decoders.atv import FRAME_LINES, FrameAssembler
+
+    asm = FrameAssembler(sync_level=-0.06)
+    normal = np.full(LINE_LEN, 0.3, np.float32)
+    full_sync = np.full(LINE_LEN, -0.3, np.float32)     # both halves low
+    half_sync = np.full(LINE_LEN, 0.3, np.float32)      # first half low
+    half_sync[:306] = -0.3
+
+    # vsync signature: 2 full-sync lines, 1 half-sync, 2 normal lines
+    # (history 0b0000011111 decoded in main.cpp:180-186)
+    lines = [normal] * 10 + [full_sync] * 2 + [half_sync] + [normal] * 2
+    ypos, aphase, flip = asm.plan(np.stack(lines))
+    assert list(ypos[:10]) == list(range(10))
+    # trigger happens on the 2nd normal line after the half-sync
+    assert flip.sum() == 1 and flip[14]
+    assert asm.ypos == 0 and asm.even_frame is True
+    # PAL phase alternates per line within a field
+    assert list(aphase[:4]) == [False, True, False, True]
+
+    # rollover: FRAME_LINES more lines flips exactly once more
+    ypos2, aphase2, flip2 = asm.plan(np.tile(normal, (FRAME_LINES, 1)))
+    assert flip2.sum() == 1 and flip2[-1]
+    # field toggle flips the alternation phase
+    assert bool(aphase2[0]) is True
+
+    # commit renders pixels and emits one frame per flip
+    mixed = (np.full((FRAME_LINES, LINE_LEN), 0.5)
+             + 1j * np.full((FRAME_LINES, LINE_LEN), 0.25)).astype(np.complex64)
+    asm.commit(mixed, ypos2, flip2)
+    frames = asm.take_frames()
+    assert len(frames) == 1 and frames[0].shape == (FRAME_LINES, LINE_LEN, 2)
+    assert frames[0][0, 0, 0] == 127 and frames[0][0, 0, 1] == 63
+    assert not asm.take_frames()
+
+
+def test_atv_decoder_end_to_end():
+    """FM-modulated composite video -> frames with chroma rendered at the
+    planned line positions."""
+    from sdrpp_tpu.decoders.atv import (BURST_END, BURST_START,
+                                        CHROMA_SUBCARRIER, FRAME_LINES,
+                                        ATVDecoder)
+
+    fs = 625.0 * 720.0 * 25.0
+    dec = ATVDecoder(samplerate=fs, span_level=1.0)
+
+    # Composite video at 1 sample/output-sample (omega=1): sync + flat
+    # gray + chroma carrier burst across the active region.
+    n_lines = 80
+    line = np.zeros(LINE_LEN, np.float32)
+    line[:71] = -0.3
+    line[LINE_LEN - 17:] = -0.3
+    line[71:LINE_LEN - 17] = 0.2
+    video = np.tile(line, n_lines)
+    t = np.arange(len(video))
+    w0 = 2 * np.pi * CHROMA_SUBCARRIER / fs
+    carrier = 0.15 * np.cos(w0 * t)
+    # only in the active region (after the burst window)
+    mask = np.zeros(LINE_LEN, bool)
+    mask[BURST_START:LINE_LEN - 17] = True
+    video = video + carrier * np.tile(mask, n_lines)
+
+    dev = fs / 2.0
+    iq = np.exp(1j * np.cumsum(2 * np.pi * dev * video / fs)) \
+        .astype(np.complex64)
+
+    frames = dec.process(iq)
+    assert frames == []  # only 80 lines in, no frame boundary yet
+    assert dec.assembler.ypos > 50  # lines were found and placed
+
+    # Feed enough for a full rollover frame.
+    reps = int(np.ceil((FRAME_LINES + 10) / n_lines))
+    for _ in range(reps):
+        frames += dec.process(iq)
+    assert frames, "no frame emitted after 625+ lines"
+    fr = frames[0]
+    assert fr.shape == (FRAME_LINES, LINE_LEN, 2)
+    # chroma present in the active region of rendered rows: the mixed
+    # carrier has nonzero magnitude vs the (chroma-free) sync region
+    row = fr[200].astype(np.float32)
+    active = row[BURST_END + 40:LINE_LEN - 60]
+    assert active.mean() > 1.0

@@ -180,3 +180,58 @@ def test_scheduler_fires_in_order():
     assert s.tick(25.0) == ["end:rec"]
     assert events == ["tune", "rec+", "rec-"]
     assert len(s.tasks()) == 1  # the never-ending 'tune' task remains
+
+
+def test_waterfall_display_traces_and_framebuffer():
+    from sdrpp_tpu.misc.waterfall import WaterfallDisplay, make_palette
+
+    wf = WaterfallDisplay(raw_fft_size=256, data_width=64,
+                          waterfall_height=8, whole_bandwidth=100e3,
+                          waterfall_min=-80.0, waterfall_max=0.0)
+    line = np.full(256, -70.0, np.float32)
+    line[128] = -10.0  # a carrier at DC
+
+    out = wf.push_fft(line)
+    assert out.shape == (64,)
+    # zoom is a max-decimation: the carrier survives into its pixel
+    assert out.max() == -10.0 and np.argmax(out) == 32
+    # framebuffer scrolled: newest line at row 0, older rows zero-init
+    assert wf.framebuffer[0].any()
+
+    # smoothing: one-pole IIR from the -1000 floor upward
+    wf.set_fft_smoothing(True)
+    wf.set_fft_smoothing_speed(0.5)
+    s1 = wf.push_fft(line).copy()
+    s2 = wf.push_fft(line).copy()
+    assert s1[0] == pytest.approx(0.5 * -70.0 + 0.5 * -1000.0)
+    assert s2[0] == pytest.approx(0.5 * -70.0 + 0.5 * s1[0])
+
+    # hold: decaying max; reference quirk keeps bin 0 frozen
+    wf.set_fft_smoothing(False)
+    wf.set_fft_hold(True)
+    wf.set_fft_hold_speed(3.0)
+    h1 = wf.push_fft(line).copy()
+    quiet = np.full(256, -75.0, np.float32)
+    wf.push_fft(quiet)
+    assert wf.latest_fft_hold[32] == pytest.approx(-13.0)  # -10 decayed 3 dB
+    assert wf.latest_fft_hold[0] == -1000.0  # bin-0 quirk (waterfall.cpp:953)
+
+    # VFO metering with SNR smoothing + 10-deep level-max history
+    wf.select_vfo(0.0, 10e3)
+    wf.set_snr_smoothing(True)
+    wf.set_snr_smoothing_speed(0.5)
+    wf.push_fft(line)
+    snr_a = wf.vfo_snr
+    wf.push_fft(line)
+    assert wf.vfo_level == pytest.approx(-10.0)
+    assert wf.vfo_snr > snr_a  # smoothing ramps toward the true SNR
+    assert wf.vfo_level_max == pytest.approx(-10.0)
+
+    # palette LUT: endpoints match the colormap stops, ABGR packing
+    pal = make_palette(resolution=1000)
+    assert pal[0] == (255 << 24) | (0x20 << 16)  # dark blue, A|B|G|R
+    assert pal.shape == (1000,)
+
+    wf.auto_range()
+    assert wf.waterfall_min == pytest.approx(wf.latest_fft.min() - 10.0)
+    assert wf.waterfall_max == pytest.approx(wf.latest_fft.max() + 10.0)

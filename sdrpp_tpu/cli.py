@@ -31,8 +31,9 @@ def _add_source_args(p):
                         "'spyserver:<host>:<port>', "
                         "'kiwisdr:<host>:<port>[:<freq_hz>]', "
                         "'hpsdr:<host>[:<port>[:<samplerate>]]', "
-                        "'hermes:<host>[:<port>[:<samplerate>]]', or "
-                        "'rfspace:<host>:<port>[:<samplerate>]'")
+                        "'hermes:<host>[:<port>[:<samplerate>]]', "
+                        "'rfspace:<host>:<port>[:<samplerate>]', or "
+                        "'spectran:<host>[:<port>]'")
     p.add_argument("--tone", type=float, default=100000.0,
                    help="test source tone offset Hz")
 
@@ -78,6 +79,11 @@ def _make_source(args):
             s.set_samplerate(float(parts[3]))
         s.start()
         return s
+    if src.startswith("spectran:"):
+        from .io.spectran import SpectranHTTPSource
+        parts = src.split(":")
+        port = int(parts[2]) if len(parts) > 2 else 54664
+        return SpectranHTTPSource(parts[1], port)
     return FileSource(src, loop=False)
 
 

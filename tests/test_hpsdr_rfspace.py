@@ -318,3 +318,76 @@ def test_rfspace_valid_sample_rates():
     assert all(a // 2 == b for a, b in zip(rates, rates[1:]))
     cloud = rfs.valid_sample_rates(rfs.DEV_ID_CLOUD_IQ)
     assert cloud[0] == 122880000 // 100
+
+
+def test_spectran_http_source_against_mock_server():
+    import json as json_mod
+
+    from sdrpp_tpu.io.spectran import SpectranHTTPSource
+
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    rng = np.random.default_rng(11)
+    iq = (rng.standard_normal(2 * 1024) * 0.2).astype("<f4")
+    control_reqs = []
+
+    def make_chunk(payload: bytes, start: int, end: int) -> bytes:
+        meta = json_mod.dumps({"startFrequency": start, "endFrequency": end,
+                               "sampleFrequency": end - start}).encode()
+        body = meta + b"\n" + b"\x1e" + payload
+        return f"{len(body):x}\r\n".encode() + body + b"\r\n"
+
+    def server():
+        # stream connection
+        conn, _ = srv.accept()
+        conn.settimeout(5.0)
+        req = b""
+        while b"\r\n\r\n" not in req:
+            req += conn.recv(4096)
+        assert b"GET /stream?format=float32" in req
+        conn.sendall(b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n")
+        conn.sendall(make_chunk(iq[:1024].tobytes(), 99_000_000, 101_000_000))
+        conn.sendall(make_chunk(iq[1024:].tobytes(), 99_000_000, 101_000_000))
+        # control connection (tune)
+        ctrl, _ = srv.accept()
+        ctrl.settimeout(5.0)
+        creq = b""
+        while b"\r\n\r\n" not in creq:
+            creq += ctrl.recv(4096)
+        head, body = creq.split(b"\r\n\r\n", 1)
+        clen = int([ln.split(b":")[1] for ln in head.split(b"\r\n")
+                    if ln.lower().startswith(b"content-length")][0])
+        while len(body) < clen:
+            body += ctrl.recv(4096)
+        control_reqs.append((head, body))
+        ctrl.sendall(b"HTTP/1.1 200 OK\r\nContent-Length: 0\r\n\r\n")
+        ctrl.close()
+        try:
+            conn.recv(1)
+        except OSError:
+            pass
+        conn.close()
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    src = SpectranHTTPSource("127.0.0.1", port)
+    try:
+        changes = []
+        src.on_samplerate_changed = changes.append
+        got = src.read(1024)
+        # metadata: samplerate = end - start, center = midpoint
+        assert src.samplerate == 2_000_000.0
+        assert src.center_freq == 100_000_000.0
+        assert changes == [2_000_000.0]
+        np.testing.assert_array_equal(got.view("<f4"), iq[:2048])
+        src.tune(144_000_000)
+    finally:
+        src.close()
+        srv.close()
+    t.join(timeout=5)
+
+    head, body = control_reqs[0]
+    assert head.startswith(b"PUT /control")
+    payload = json_mod.loads(body)
+    assert payload == {"frequencyCenter": 144_000_000,
+                       "frequencySpan": 2_000_000, "type": "capture"}

@@ -185,3 +185,40 @@ def test_rrc_interpolator_pulse_shaping():
     inb = S[f < 3800].sum()
     outb = S[f > 5000].sum()
     assert 10 * np.log10(inb / outb) > 30
+
+
+def test_decimating_fir_conv_path_matches_unrolled():
+    """The strided-lax.conv decimator (TPU default) must match the
+    unrolled polyphase form bit-closely for every dtype/taps combo."""
+    import sdrpp_tpu.ops.fir as F
+
+    rng = np.random.default_rng(42)
+    old = F.DECIM_MODE
+    try:
+        for r, m, n in [(2, 11, 64), (4, 23, 128), (16, 64, 512), (2, 2, 16)]:
+            for cplx_x, cplx_t in [(True, False), (False, False), (True, True)]:
+                x = rng.standard_normal(n).astype(np.float32)
+                if cplx_x:
+                    x = (x + 1j * rng.standard_normal(n)).astype(np.complex64)
+                taps = rng.standard_normal(m).astype(np.float32)
+                if cplx_t:
+                    taps = (taps + 1j * rng.standard_normal(m)) \
+                        .astype(np.complex64)
+                tail = jnp.asarray(np.zeros(m - 1, x.dtype))
+                F.DECIM_MODE = "unrolled"
+                t1, y1 = F.decimating_fir_correlate(tail, jnp.asarray(x),
+                                                    taps, r)
+                F.DECIM_MODE = "conv"
+                t2, y2 = F.decimating_fir_correlate(tail, jnp.asarray(x),
+                                                    taps, r)
+                np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                           atol=2e-5, rtol=2e-5)
+                np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+                # leading channel axis (the VFO-bank layout)
+                xb = jnp.stack([jnp.asarray(x)] * 3)
+                tb = jnp.stack([tail] * 3)
+                _, yb = F.decimating_fir_correlate(tb, xb, taps, r)
+                np.testing.assert_allclose(np.asarray(yb[2]), np.asarray(y2),
+                                           atol=2e-5, rtol=2e-5)
+    finally:
+        F.DECIM_MODE = old

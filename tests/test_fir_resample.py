@@ -222,3 +222,35 @@ def test_decimating_fir_conv_path_matches_unrolled():
                                            atol=2e-5, rtol=2e-5)
     finally:
         F.DECIM_MODE = old
+
+
+def test_mix_bank_product_path_matches_angle():
+    """The phasor-product LO synthesis (TPU default) must match the
+    wrapped-angle cos/sin form, including the carried phase."""
+    import sdrpp_tpu.ops.mix as M
+
+    rng = np.random.default_rng(7)
+    old = M.MIX_MODE
+    try:
+        n, c = 8192, 5
+        x = (rng.standard_normal(n)
+             + 1j * rng.standard_normal(n)).astype(np.complex64)
+        omegas = rng.uniform(-3, 3, c)
+        phase = jnp.asarray(rng.uniform(0, 2 * np.pi, c).astype(np.float32))
+        M.MIX_MODE = "angle"
+        p1, y1 = M.mix_bank(phase, jnp.asarray(x), omegas)
+        # two blocks: phase carry must agree too
+        p1b, y1b = M.mix_bank(p1, jnp.asarray(x), omegas)
+        M.MIX_MODE = "product"
+        p2, y2 = M.mix_bank(phase, jnp.asarray(x), omegas)
+        p2b, y2b = M.mix_bank(p2, jnp.asarray(x), omegas)
+        np.testing.assert_allclose(np.asarray(p1b), np.asarray(p2b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   atol=3e-5, rtol=3e-5)
+        np.testing.assert_allclose(np.asarray(y1b), np.asarray(y2b),
+                                   atol=3e-5, rtol=3e-5)
+        # LO stays unit magnitude (no drift)
+        mag = np.abs(np.asarray(y2b)) / np.abs(x)[None, :]
+        np.testing.assert_allclose(mag, 1.0, atol=1e-5)
+    finally:
+        M.MIX_MODE = old

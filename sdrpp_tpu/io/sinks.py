@@ -118,7 +118,9 @@ class SinkManager:
         self._streams[name]["provider"] = provider
 
     def set_volume(self, name: str, volume: float):
-        self._streams[name]["volume"] = float(volume)
+        # the reference's Volume block applies gain = volume^2 — a power-law
+        # slider curve (dsp/audio/volume.h:14-17) — kept for parity
+        self._streams[name]["volume"] = float(volume) ** 2
 
     def set_muted(self, name: str, muted: bool):
         self._streams[name]["muted"] = bool(muted)

@@ -235,3 +235,18 @@ def test_waterfall_display_traces_and_framebuffer():
     wf.auto_range()
     assert wf.waterfall_min == pytest.approx(wf.latest_fft.min() - 10.0)
     assert wf.waterfall_max == pytest.approx(wf.latest_fft.max() + 10.0)
+
+
+def test_sink_manager_volume_power_law():
+    """Volume applies gain = volume^2 (dsp/audio/volume.h:14-17)."""
+    from sdrpp_tpu.io.sinks import BufferSink, SinkManager
+
+    sm = SinkManager()
+    buf = BufferSink()
+    sm.register_stream("radio", 48000.0, provider=buf)
+    sm.set_volume("radio", 0.5)
+    sm.write("radio", np.ones(4, np.float32))
+    np.testing.assert_allclose(buf.data()[-4:], 0.25)
+    sm.set_muted("radio", True)
+    sm.write("radio", np.ones(4, np.float32))
+    np.testing.assert_allclose(buf.data()[-4:], 0.0)

@@ -187,13 +187,13 @@ def _decimating_direct(buf: jax.Array, taps: np.ndarray, out_n: int,
 DECIM_MODE = os.environ.get("SDRPP_TPU_DECIM", "auto")
 
 
-def _decim_use_conv() -> bool:
+def _decim_use_conv(batched: bool) -> bool:
     if DECIM_MODE == "conv":
         return True
     if DECIM_MODE == "unrolled":
         return False
     try:
-        return jax.default_backend() in ("tpu", "axon")
+        return batched and jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
 
@@ -216,7 +216,11 @@ def decimating_fir_correlate(tail: jax.Array, x: jax.Array, taps: np.ndarray,
     out_n = n // r
 
     buf = jnp.concatenate([tail, x], axis=-1)  # [..., n + m - 1]
-    if _decim_use_conv():
+    # auto picks conv only with a batched leading (channel) axis —
+    # measured on the chip: 64-ch /128 cascade 3.2 -> 5.6 Gsamp/s
+    # aggregate, but a SINGLE 65k stream regresses ~13x (batch-1 conv
+    # underutilizes the MXU while the unrolled slices fuse on the VPU).
+    if _decim_use_conv(batched=x.ndim > 1):
         y = _decimating_direct(buf, taps, out_n, r, x.dtype)
         new_tail = jax.lax.slice_in_dim(buf, n, n + m - 1, axis=-1)
         return new_tail, y

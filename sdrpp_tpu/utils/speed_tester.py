@@ -118,26 +118,40 @@ def speed_test(block, n: int, dtype=jnp.complex64, iters: int = 16,
 
 
 def calibrate_sync(size: int = 2048, iters: int = 16) -> dict:
-    """Serial matmul chain with known FLOPs; sanity-bounds the harness."""
+    """Serial matmul chain with known FLOPs; sanity-bounds the harness.
+
+    The iteration count GROWS until the chain's incremental time clears
+    the tunnel's launch-latency noise (5-30 ms per run): with a fixed
+    small count, (tn - t1) measures noise and the TFLOP/s reading swings
+    by orders of magnitude between runs (observed 1.7 to 421 on the same
+    chip with 16 x ~0.1 ms matmuls).
+    """
     a = jnp.asarray(np.random.default_rng(0)
                     .standard_normal((size, size)).astype(np.float32))
 
     @jax.jit
     def mm(state, x):
         y = state @ x
-        return y, jnp.sum(y[0, :4])
+        # full-reduction checksum: the carried state already forces every
+        # matmul, the sum keeps the per-iteration output alive too
+        return y, jnp.sum(y)
 
     chain = _make_chain(mm)
     warm: set = set()
     t1 = _timed(chain, a, a, 1, warm)
-    tn = _timed(chain, a, a, iters, warm)
+    while True:
+        tn = _timed(chain, a, a, iters, warm)
+        if tn - t1 > 0.25 or iters >= 4096:
+            break
+        iters *= 4
     per_iter = max((tn - t1) / (iters - 1), 1e-9)
     tflops = 2 * size**3 / per_iter / 1e12
     # The failure mode this guards is sync-not-working (dispatch returns
     # before execution), which reads as absurdly HIGH TFLOP/s; a low
-    # reading is just a slow/loaded backend, still a valid clock.
-    return {"matmul_ms": per_iter * 1e3, "tflops": tflops,
-            "plausible": 0.02 < tflops < 1000.0}
+    # reading is just a slow/loaded backend, still a valid clock. 500
+    # TFLOP/s f32 is beyond any current single chip.
+    return {"matmul_ms": per_iter * 1e3, "tflops": tflops, "iters": iters,
+            "plausible": 0.02 < tflops < 500.0}
 
 
 def report_table(results: dict[str, dict]) -> str:

@@ -285,6 +285,10 @@ def cmd_spectrum(argv):
     p.add_argument("--blocks", type=int, default=4)
     p.add_argument("--block-size", type=int, default=262144)
     p.add_argument("--out", default="waterfall.npy")
+    p.add_argument("--framebuffer", default=None,
+                   help="also render the palette-mapped waterfall "
+                        "framebuffer (uint32 ABGR) to this .npy")
+    p.add_argument("--fb-width", type=int, default=1024)
     args = p.parse_args(argv)
 
     import jax
@@ -306,6 +310,22 @@ def cmd_spectrum(argv):
     wf = np.concatenate(lines, axis=0)
     np.save(args.out, wf)
     log.info(f"waterfall {wf.shape} dB -> {args.out}")
+
+    if args.framebuffer:
+        from .misc.waterfall import WaterfallDisplay
+        disp = WaterfallDisplay(raw_fft_size=wf.shape[-1],
+                                data_width=args.fb_width,
+                                waterfall_height=max(len(wf), 2),
+                                whole_bandwidth=src.samplerate)
+        for line in wf:
+            disp.push_fft(line)
+        disp.auto_range()
+        # re-render at the auto range so the image uses the full palette
+        for line in wf:
+            disp.push_fft(line)
+        np.save(args.framebuffer, disp.framebuffer)
+        log.info(f"framebuffer {disp.framebuffer.shape} ABGR -> "
+                 f"{args.framebuffer}")
 
 
 def cmd_serve(argv):

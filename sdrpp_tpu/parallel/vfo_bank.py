@@ -100,12 +100,22 @@ class ScannerBank(Block):
     def __init__(self, offsets_hz, in_samplerate: float, mode: str = "usb",
                  if_rate: float = 48000.0, bandwidth: float = 2700.0,
                  squelch_level: float | None = None,
-                 audio_rate: float = 48000.0):
+                 audio_rate: float = 48000.0, channelizer: str = "time"):
         self.channels = len(np.asarray(offsets_hz))
         self.mode = mode
         ls = (self.channels,)
-        self.vfo = VFOBank(offsets_hz, in_samplerate, if_rate,
-                           min(bandwidth, if_rate))
+        if channelizer == "fft":
+            # shared-FFT channelizer (SURVEY §2.5 TPU plan): one wideband
+            # FFT + per-channel pruned frequency-domain filtering; needs an
+            # integer in/if rate ratio (ops/channelizer.py)
+            from ..ops.channelizer import FFTChannelizerBank
+            self.vfo = FFTChannelizerBank(offsets_hz, in_samplerate, if_rate,
+                                          bandwidth=min(bandwidth, if_rate))
+        elif channelizer == "time":
+            self.vfo = VFOBank(offsets_hz, in_samplerate, if_rate,
+                               min(bandwidth, if_rate))
+        else:
+            raise ValueError(f"unknown channelizer {channelizer!r}")
         self.squelch = (Squelch(squelch_level, lead_shape=ls)
                         if squelch_level is not None else None)
         self.demod = _DEMODS[mode](if_rate, bandwidth, ls)

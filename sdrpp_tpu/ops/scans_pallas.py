@@ -71,10 +71,20 @@ def _smem_scan_call(make_body, state: jax.Array, streams, n: int,
     total = n + pad
     g = total // c
 
-    def kernel(state_ref, *refs):
+    def kernel(valid_ref, state_ref, *refs):
         in_refs = refs[:nstreams]
         out_ref, fin_ref = refs[nstreams:nstreams + 2]
-        body = make_body(in_refs, out_ref)
+        inner = make_body(in_refs, out_ref)
+        valid = valid_ref[0]
+
+        # padded tail samples must NOT advance the carry — they are not
+        # real input; stores into the (discarded) padded output region
+        # are harmless
+        def body(t, carry):
+            new = inner(t, carry)
+            return tuple(jnp.where(t < valid, nv, ov)
+                         for nv, ov in zip(new, carry))
+
         carry = jax.lax.fori_loop(
             0, c, body, tuple(state_ref[j] for j in range(k)))
         for j in range(k):
@@ -84,23 +94,25 @@ def _smem_scan_call(make_body, state: jax.Array, streams, n: int,
         kernel,
         out_shape=(jax.ShapeDtypeStruct((c,), jnp.float32),
                    jax.ShapeDtypeStruct((k,), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * (1 + nstreams),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * (2 + nstreams),
         out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         interpret=interpret,
     )
 
     if g == 1:
-        out, fin = chunk_call(state, *streams)
+        out, fin = chunk_call(jnp.asarray([n], jnp.int32), state, *streams)
         return out[:n] if pad else out, fin
 
     stacked = tuple(s.reshape(g, c) for s in streams)
+    valid = jnp.asarray(np.clip(n - c * np.arange(g), 0, c)
+                        .reshape(g, 1).astype(np.int32))
 
     def scan_body(carry, xs):
-        out_chunk, fin = chunk_call(carry, *xs)
+        out_chunk, fin = chunk_call(xs[0], carry, *xs[1:])
         return fin, out_chunk
 
-    fin, outs = jax.lax.scan(scan_body, state, stacked)
+    fin, outs = jax.lax.scan(scan_body, state, (valid,) + stacked)
     out = outs.reshape(-1)
     return out[:n] if pad else out, fin
 

@@ -85,3 +85,22 @@ def test_costas_pallas_falls_back_on_batched_input():
     pal = CostasPallas(4, 0.01, interpret=True, lead_shape=(3,))
     st, y = pal(pal.init_state(), jnp.asarray(x))
     assert y.shape == (3, 512)
+
+
+def test_pallas_carry_correct_for_non_chunk_multiple_blocks():
+    """Padded tail samples must not advance the carry: block lengths that
+    aren't multiples of the SMEM chunk previously corrupted the state
+    handed to the next block."""
+    from sdrpp_tpu.ops.scans import PLL
+    from sdrpp_tpu.ops.scans_pallas import PLLPallas
+
+    rng = np.random.default_rng(3)
+    for n in (100, 8192, 10000, 20000):
+        x = np.exp(1j * rng.uniform(-np.pi, np.pi, n)).astype(np.complex64)
+        ref = PLL(bandwidth=0.01, init_freq=0.5)
+        pal = PLLPallas(bandwidth=0.01, init_freq=0.5, interpret=True)
+        s1, y1 = ref(ref.init_state(), jnp.asarray(x))
+        s2, y2 = pal(pal.init_state(), jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-4)
+        assert abs(float(s1["phase"]) - float(s2["phase"])) < 1e-4, n
+        assert abs(float(s1["freq"]) - float(s2["freq"])) < 1e-5, n

@@ -23,6 +23,13 @@ Everything vectorizable stays OUTSIDE the kernel: the PLL's input phases
 AGC's look-ahead suffix max — the kernels only sequence the scalar
 carries.
 
+BATCHED channels ([C, n] inputs — the WFM-stereo / SSB scanner banks) run
+a lane-parallel variant: channels live in the VPU lanes of [1, C] row
+vectors and the same recurrence bodies run unchanged over time-major
+[n, C] VMEM chunks (_RowRef adapter + _lane_scan_call). Measured at
+C=64 on the chip: ~500-640 Msamp/s aggregate vs ~75 for the vectorized
+lax.scan fallback and ~8-12 for C sequential scalar-kernel calls.
+
 Transparent fallback to the lax.scan blocks off-TPU; interpret-mode tests
 pin exact equivalence.
 """
@@ -117,6 +124,107 @@ def _smem_scan_call(make_body, state: jax.Array, streams, n: int,
     return out[:n] if pad else out, fin
 
 
+class _RowRef:
+    """Adapter so the scalar kernel bodies run unchanged on [1, C] row
+    vectors: ``ref[t]`` loads row t, ``ref[t] = v`` stores it."""
+
+    def __init__(self, ref):
+        from jax.experimental import pallas as pl
+        self._ref = ref
+        self._pl = pl
+
+    def __getitem__(self, t):
+        return self._ref[self._pl.ds(t, 1), :]
+
+    def __setitem__(self, t, v):
+        self._ref[self._pl.ds(t, 1), :] = v
+
+
+def _lane_scan_call(make_body, state: jax.Array, streams, n: int,
+                    interpret: bool):
+    """Drive the recurrence over n samples x C channels, channels living
+    in VPU lanes (the batched counterpart of _smem_scan_call).
+
+    ``state``: [k, C]; ``streams``: list of [n, C] time-major f32 arrays.
+    The SAME make_body as the scalar path runs on [1, C] row vectors via
+    _RowRef. Returns (out [n, C], fin [k, C]).
+    """
+    from jax.experimental import pallas as pl
+
+    k, C = state.shape
+    nstreams = len(streams)
+    # bound VMEM: ~2 MB per stream per chunk
+    c = min(n, max(8, (1 << 19) // max(C, 1)))
+    pad = (-n) % c
+    if pad:
+        streams = [jnp.concatenate([s, jnp.zeros((pad, C), s.dtype)])
+                   for s in streams]
+    total = n + pad
+    g = total // c
+
+    def kernel(valid_ref, state_ref, *refs):
+        in_refs = [_RowRef(r) for r in refs[:nstreams]]
+        out_ref, fin_ref = refs[nstreams:nstreams + 2]
+        inner = make_body(in_refs, _RowRef(out_ref))
+        valid = valid_ref[0]
+
+        def body(t, carry):
+            new = inner(t, carry)
+            return tuple(jnp.where(t < valid, nv, ov)
+                         for nv, ov in zip(new, carry))
+
+        carry = jax.lax.fori_loop(
+            0, c, body,
+            tuple(state_ref[pl.ds(j, 1), :] for j in range(k)))
+        for j in range(k):
+            fin_ref[pl.ds(j, 1), :] = carry[j]
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    chunk_call = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((c, C), jnp.float32),
+                   jax.ShapeDtypeStruct((k, C), jnp.float32)),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + nstreams)),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )
+
+    if g == 1:
+        out, fin = chunk_call(jnp.asarray([n], jnp.int32), state, *streams)
+        return out[:n] if pad else out, fin
+
+    stacked = tuple(s.reshape(g, c, C) for s in streams)
+    valid = jnp.asarray(np.clip(n - c * np.arange(g), 0, c)
+                        .reshape(g, 1).astype(np.int32))
+
+    def scan_body(carry, xs):
+        out_chunk, fin = chunk_call(xs[0], carry, *xs[1:])
+        return fin, out_chunk
+
+    fin, outs = jax.lax.scan(scan_body, state, (valid,) + stacked)
+    out = outs.reshape(total, C)
+    return out[:n] if pad else out, fin
+
+
+def _dispatch_scan_call(make_body, state, streams, interpret: bool):
+    """Route [n] streams to the SMEM scalar kernel and [C, n] streams to
+    the lane-batched kernel (channels in VPU lanes). Returns streams-
+    shaped output + [k] or [k, C] final carry."""
+    lead = streams[0].shape[:-1]
+    n = streams[0].shape[-1]
+    if not lead:
+        return _smem_scan_call(make_body, state, streams, n, interpret)
+    tc = [jnp.swapaxes(s.astype(jnp.float32), -1, -2).reshape(n, -1)
+          for s in streams]
+    out, fin = _lane_scan_call(make_body, state.reshape(state.shape[0], -1),
+                               tc, n, interpret)
+    return (jnp.swapaxes(out, 0, 1).reshape(*lead, n),
+            fin.reshape(state.shape[0], *lead))
+
+
 def pll_phases_pallas(in_phases: jax.Array, phase0, freq0, alpha, beta,
                       min_freq, max_freq, interpret: bool = False):
     """Sequential PLL phase recurrence -> (out_phases, phase_f, freq_f).
@@ -151,8 +259,8 @@ def pll_phases_pallas(in_phases: jax.Array, phase0, freq0, alpha, beta,
 
     state = jnp.stack([jnp.asarray(phase0, jnp.float32),
                        jnp.asarray(freq0, jnp.float32)])
-    out, fin = _smem_scan_call(make_body, state,
-                               [in_phases.astype(jnp.float32)], n, interpret)
+    out, fin = _dispatch_scan_call(make_body, state,
+                                   [in_phases.astype(jnp.float32)], interpret)
     return out, fin[0], fin[1]
 
 
@@ -176,9 +284,9 @@ def fast_agc_gains_pallas(amps: jax.Array, gain0, set_point, max_gain, rate,
 
         return body
 
-    state = jnp.asarray(gain0, jnp.float32).reshape(1)
-    out, fin = _smem_scan_call(make_body, state,
-                               [amps.astype(jnp.float32)], n, interpret)
+    state = jnp.stack([jnp.asarray(gain0, jnp.float32)])
+    out, fin = _dispatch_scan_call(make_body, state,
+                                   [amps.astype(jnp.float32)], interpret)
     return out, fin[0]
 
 
@@ -257,9 +365,9 @@ def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
 
     state = jnp.stack([jnp.asarray(phase0, jnp.float32),
                        jnp.asarray(freq0, jnp.float32)])
-    out, fin = _smem_scan_call(
+    out, fin = _dispatch_scan_call(
         make_body, state,
-        [re.astype(jnp.float32), im.astype(jnp.float32)], n, interpret)
+        [re.astype(jnp.float32), im.astype(jnp.float32)], interpret)
     return out, fin[0], fin[1]
 
 
@@ -303,10 +411,10 @@ def agc_gains_pallas(amps: jax.Array, suffix_max: jax.Array, amp0, gain0,
 
     state = jnp.stack([jnp.asarray(amp0, jnp.float32),
                        jnp.asarray(gain0, jnp.float32)])
-    out, fin = _smem_scan_call(
+    out, fin = _dispatch_scan_call(
         make_body, state,
         [amps.astype(jnp.float32), suffix_max.astype(jnp.float32)],
-        n, interpret)
+        interpret)
     return out, fin[0], fin[1]
 
 
@@ -318,7 +426,7 @@ class PLLPallas(PLL):
         self.interpret = interpret
 
     def __call__(self, state, x):
-        if x.ndim != 1 or (not self.interpret and not _pallas_on_tpu()):
+        if x.ndim > 2 or (not self.interpret and not _pallas_on_tpu()):
             return super().__call__(state, x)
         in_phase = jnp.arctan2(x.imag, x.real)
         out_phases, phase_f, freq_f = pll_phases_pallas(
@@ -336,7 +444,7 @@ class CostasPallas(Costas):
         self.interpret = interpret
 
     def __call__(self, state, x):
-        if x.ndim != 1 or (not self.interpret and not _pallas_on_tpu()):
+        if x.ndim > 2 or (not self.interpret and not _pallas_on_tpu()):
             return super().__call__(state, x)
         out_phases, phase_f, freq_f = costas_phases_pallas(
             x.real, x.imag, state["phase"], state["freq"], self.order,
@@ -354,7 +462,7 @@ class FastAGCPallas(FastAGC):
         self.interpret = interpret
 
     def __call__(self, state, x):
-        if x.ndim != 1 or (not self.interpret and not _pallas_on_tpu()):
+        if x.ndim > 2 or (not self.interpret and not _pallas_on_tpu()):
             return super().__call__(state, x)
         amps = jnp.abs(x)
         gains, gain_f = fast_agc_gains_pallas(
@@ -372,7 +480,7 @@ class AGCPallas(AGC):
         self.interpret = interpret
 
     def __call__(self, state, x):
-        if x.ndim != 1 or not self.enabled or \
+        if x.ndim > 2 or not self.enabled or \
                 (not self.interpret and not _pallas_on_tpu()):
             return super().__call__(state, x)
         in_amp = jnp.abs(x)

@@ -1,6 +1,7 @@
 """Pallas sequential-loop kernels: exact equivalence vs lax.scan blocks."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from sdrpp_tpu.ops.scans import PLL, FastAGC
@@ -104,3 +105,40 @@ def test_pallas_carry_correct_for_non_chunk_multiple_blocks():
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-4)
         assert abs(float(s1["phase"]) - float(s2["phase"])) < 1e-4, n
         assert abs(float(s1["freq"]) - float(s2["freq"])) < 1e-5, n
+
+
+def test_lane_batched_kernels_match_lax_scan():
+    """[C, n] inputs route to the lane-batched kernel (channels in VPU
+    lanes); outputs and carries must match the lax.scan forms."""
+    from sdrpp_tpu.ops import scans as S
+    from sdrpp_tpu.ops import scans_pallas as SP
+
+    rng = np.random.default_rng(5)
+    C, n = 5, 5000  # odd channel count, non-chunk-multiple length
+    x = (rng.standard_normal((C, n))
+         + 1j * rng.standard_normal((C, n))).astype(np.complex64) * 0.7
+
+    pairs = [
+        (S.PLL(bandwidth=0.01, init_freq=0.3, lead_shape=(C,)),
+         SP.PLLPallas(bandwidth=0.01, init_freq=0.3, lead_shape=(C,),
+                      interpret=True)),
+        (S.Costas(2, 0.01, lead_shape=(C,)),
+         SP.CostasPallas(2, 0.01, lead_shape=(C,), interpret=True)),
+        (S.Costas(4, 0.01, lead_shape=(C,)),
+         SP.CostasPallas(4, 0.01, lead_shape=(C,), interpret=True)),
+        (S.FastAGC(1.0, 10.0, 0.01, lead_shape=(C,)),
+         SP.FastAGCPallas(1.0, 10.0, 0.01, lead_shape=(C,), interpret=True)),
+        (S.AGC(1.0, 0.1, 0.01, 1000.0, 1.0, lead_shape=(C,)),
+         SP.AGCPallas(1.0, 0.1, 0.01, 1000.0, 1.0, lead_shape=(C,),
+                      interpret=True)),
+    ]
+    for ref, pal in pairs:
+        s1, y1 = ref(ref.init_state(), jnp.asarray(x))
+        s2, y2 = pal(pal.init_state(), jnp.asarray(x))
+        name = type(ref).__name__
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
+        for leaf1, leaf2 in zip(jax.tree_util.tree_leaves(s1),
+                                jax.tree_util.tree_leaves(s2)):
+            np.testing.assert_allclose(np.asarray(leaf1), np.asarray(leaf2),
+                                       atol=2e-4, err_msg=name)

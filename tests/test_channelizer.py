@@ -126,3 +126,30 @@ def test_scanner_bank_fft_channelizer_close_to_time_domain():
         assert abs(pk - 700.0) < 10.0, f"{chan}: tone at {pk}"
         # (channel 0 carries no signal; FM demod of an empty channel is
         # noise on BOTH paths, so only the modulated channel is compared)
+
+
+def test_fft_channelizer_sharded_equals_unsharded():
+    """The channelizer's static-slice gather partitions cleanly under
+    channel sharding (GSPMD) — sharded == unsharded on the virtual mesh."""
+    from sdrpp_tpu.parallel.mesh import make_mesh
+    from sdrpp_tpu.parallel.vfo_bank import ScannerBank
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = make_mesh(8, 1)
+    C, fs = 16, 512000.0
+    offs = np.linspace(-200000.0, 200000.0, C)
+    bank = ScannerBank(offs, fs, mode="nfm", if_rate=32000.0,
+                       bandwidth=12500.0, channelizer="fft")
+    n = bank.block_multiple * max(1, 8192 // bank.block_multiple)
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal(n)
+         + 1j * rng.standard_normal(n)).astype(np.complex64)
+
+    state, in_sh, out_sh = bank.shard(mesh, bank.init_state())
+    step = jax.jit(bank, in_shardings=(None, in_sh), out_shardings=(None, out_sh))
+    _, audio_sharded = step(state, jax.device_put(jnp.asarray(x), in_sh))
+    _, audio_ref = bank(bank.init_state(), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(audio_sharded),
+                               np.asarray(audio_ref), atol=1e-5, rtol=1e-5)
+    assert len(audio_sharded.sharding.device_set) == 8

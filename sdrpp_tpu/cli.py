@@ -225,6 +225,9 @@ def cmd_bank(argv):
     p.add_argument("--bandwidth", type=float, default=12500.0)
     p.add_argument("--if-rate", type=float, default=48000.0)
     p.add_argument("--squelch", type=float, default=None)
+    p.add_argument("--channelizer", default="time", choices=["time", "fft"],
+                   help="'fft' = shared-FFT channelizer (one wideband FFT "
+                        "for all channels; needs integer fs/if ratio)")
     p.add_argument("--out-dir", default="bank_audio")
     p.add_argument("--container", default="wav", choices=["wav", "flac", "mp3"])
     p.add_argument("--blocks", type=int, default=4)
@@ -244,7 +247,8 @@ def cmd_bank(argv):
     fs = src.samplerate
     offsets = np.array([float(o) for o in args.offsets.split(",")])
     bank = ScannerBank(offsets, fs, mode=args.mode, if_rate=args.if_rate,
-                       bandwidth=args.bandwidth, squelch_level=args.squelch)
+                       bandwidth=args.bandwidth, squelch_level=args.squelch,
+                       channelizer=args.channelizer)
     bm = bank.block_multiple
     block = max(bm, (args.block_size // bm) * bm)
     log.info(f"{len(offsets)}-channel {args.mode} bank, fs={fs:g}, block={block}")

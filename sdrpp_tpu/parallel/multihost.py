@@ -21,8 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+
+from jax.sharding import Mesh
 
 from ..io.sources import FileSource
 from .vfo_bank import ScannerBank

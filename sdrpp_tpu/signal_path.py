@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from .ops.resample import PowerDecimator
 from .ops.scans import DCBlocker
-from .ops.spectrum import SpectrumFFT, gen_reshape_params
+from .ops.spectrum import SpectrumFFT
 from .ops.windows import Window
 from .utils.blocks import Block
 

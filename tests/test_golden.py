@@ -1,9 +1,10 @@
 """Golden regression: deterministic chains vs checked-in outputs.
 
-SURVEY §4(b) prescribes golden-file audio comparisons. The reference's DSP
-can't be built in this image (no FFTW/VOLK), so reference-formula parity is
-pinned by the per-sample NumPy oracles elsewhere; THESE goldens freeze our
-own end-to-end outputs so later optimization rounds can't silently drift
+SURVEY §4(b) prescribes golden-file audio comparisons. Direct parity vs the
+ACTUAL reference implementation is covered by tests/test_oracle_parity.py
+(native/oracle compiles the unmodified reference DSP headers against scalar
+volk/fftw shims); THESE goldens additionally freeze our own end-to-end
+outputs so later optimization rounds can't silently drift
 (tolerance 0.1 dB RMS, the BASELINE audio bound).
 
 Regenerate intentionally with: python tests/test_golden.py --regen

@@ -432,3 +432,119 @@ def test_rx_vfo(oracle, tmp_path):
     mine = run_ours(RxVFO(*args), iq, block=8000)
     assert err_snr_db(ref, mine) > 50.0
     assert level_diff_db(ref, mine) < 0.1
+
+
+# ---------- extended coverage: higher-order loops, float paths, RDS tap ----------
+
+@pytest.mark.parametrize("order", [4, 8])
+def test_costas_higher_order(oracle, tmp_path, order):
+    from sdrpp_tpu.ops.scans import Costas
+    rng = np.random.default_rng(20 + order)
+    n = 65536
+    sym = rng.integers(0, order, n // 16)
+    ph = 2 * np.pi * sym / order + (np.pi / order if order == 4 else 0.0)
+    bb = np.repeat(np.exp(1j * ph), 16)
+    t = np.arange(n)
+    iq = (bb * np.exp(1j * (2 * np.pi * 0.0005 * t + 0.1))).astype(np.complex64)
+    ref = run_oracle(oracle, tmp_path, f"costas{order}", iq, 0.01).view(np.complex64)
+    mine = run_ours(Costas(order, 0.01), iq)
+    assert err_snr_db(ref, mine, skip=8192) > 30.0
+
+
+def test_agc_complex(oracle, tmp_path):
+    from sdrpp_tpu.ops.scans import AGC
+    fs = 48000.0
+    t = np.arange(65536) / fs
+    env = (0.05 + 0.5 * (1 + np.sin(2 * np.pi * 0.7 * t)) / 2).astype(np.float32)
+    iq = (env * np.exp(2j * np.pi * 1000.0 * t)).astype(np.complex64)
+    args = (1.0, 50.0 / fs, 5.0 / fs, 10e6, 10.0, 1.0)
+    ref = run_oracle(oracle, tmp_path, "agc_c64", iq, *args).view(np.complex64)
+    mine = run_ours(AGC(*args), iq)
+    assert err_snr_db(ref, mine) > 40.0
+    assert level_diff_db(ref, mine) < 0.1
+
+
+def test_rational_resampler_float(oracle, tmp_path):
+    # the AF-chain path: float audio 240k -> 48k
+    from sdrpp_tpu.ops.resample import RationalResampler
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal(80000).astype(np.float32)
+    ref = run_oracle(oracle, tmp_path, "resamp_f32", x, 240000.0, 48000.0, block=8000)
+    mine = run_ours(RationalResampler(240000.0, 48000.0, dtype=jnp.float32), x,
+                    block=8000)
+    assert err_snr_db(ref, mine) > 55.0
+    assert level_diff_db(ref, mine) < 0.1
+
+
+def test_deemphasis_stereo(oracle, tmp_path):
+    from sdrpp_tpu.ops.scans import Deemphasis
+    rng = np.random.default_rng(22)
+    lr = rng.standard_normal((32768, 2)).astype(np.float32)
+    ref = run_oracle(oracle, tmp_path, "deemphasis_stereo", lr.reshape(-1),
+                     75e-6, 48000.0).reshape(-1, 2)
+    blk = Deemphasis(75e-6, 48000.0, stereo=True)
+    f = jax.jit(blk)
+    st = blk.init_state()
+    outs = []
+    for i in range(0, len(lr), 8192):
+        st, y = f(st, jnp.asarray(lr[i:i + 8192]))
+        outs.append(np.asarray(y))
+    mine = np.concatenate(outs, axis=0)
+    for ch in range(2):
+        assert err_snr_db(ref[:, ch], mine[:, ch]) > 55.0
+
+
+def test_mm_clock_recovery_float(oracle, tmp_path):
+    from sdrpp_tpu.ops.clock_recovery import MMClockRecovery
+    from sdrpp_tpu.ops import taps as taps_mod
+    rng = np.random.default_rng(23)
+    sps = 10
+    nsym = 3000
+    bits = (rng.integers(0, 2, nsym) * 2 - 1).astype(np.float32)
+    ups = np.zeros(nsym * sps, np.float32)
+    ups[::sps] = bits
+    rrc = taps_mod.root_raised_cosine_rate(8 * sps + 1, 0.35, 1.0, sps)
+    x = np.convolve(ups, rrc, mode="same").astype(np.float32)
+
+    args = (float(sps), 1e-6, 0.01, 0.01)
+    ref = run_oracle(oracle, tmp_path, "mm_f32", x, *args, block=6000)
+
+    mm = MMClockRecovery(*args, complex_input=False)
+    f = jax.jit(mm)
+    st = mm.init_state()
+    outs = []
+    for i in range(0, len(x), 6000):
+        st, (symbols, valid) = f(st, jnp.asarray(x[i:i + 6000]))
+        outs.append(np.asarray(symbols)[np.asarray(valid)])
+    mine = np.concatenate(outs)
+    n = min(len(ref), len(mine))
+    assert abs(len(ref) - len(mine)) <= 2
+    assert err_snr_db(ref[:n], mine[:n]) > 25.0
+
+
+def test_wfm_rds_tap(oracle, tmp_path):
+    from sdrpp_tpu.models.analog import WFMDemod
+    fs, dev, n = 240000.0, 75000.0, 240000
+    t = np.arange(n) / fs
+    rng = np.random.default_rng(24)
+    # RDS-band content: BPSK-ish tone cluster at 57 kHz on the MPX
+    bits = np.repeat(rng.integers(0, 2, n // 101 + 2) * 2.0 - 1.0, 101)[:n]
+    mpx = (0.4 * np.sin(2 * np.pi * 1000.0 * t)
+           + 0.1 * np.sin(2 * np.pi * 19000.0 * t)
+           + 0.06 * bits * np.sin(2 * np.pi * 57000.0 * t))
+    iq = np.exp(1j * np.cumsum(2 * np.pi * dev * mpx / fs)).astype(np.complex64)
+
+    ref = run_oracle(oracle, tmp_path, "wfm_rds", iq, dev, fs, 1.0, 1.0,
+                     block=9600).view(np.complex64)
+
+    d = WFMDemod(deviation=dev, samplerate=fs, stereo=True, low_pass=True,
+                 rds_out=True)
+    f = jax.jit(d)
+    st = d.init_state()
+    outs = []
+    for i in range(0, n, 9600):
+        st, (_audio, rds) = f(st, jnp.asarray(iq[i:i + 9600]))
+        outs.append(np.asarray(rds))
+    mine = np.concatenate(outs)
+    assert err_snr_db(ref, mine, skip=1000) > 35.0
+    assert level_diff_db(ref, mine, skip=1000) < 0.1

@@ -350,6 +350,24 @@ def cmd_serve(argv):
     srv = BasebandServer(args.addr, args.port, samplerate=src.samplerate,
                          pcm_type=PCM_TYPE_I16)
     srv.on_tune = lambda f: src.tune(f)
+    # remote-UI controls (the headless SmGui): expose what the selected
+    # source supports, like the reference server mirrors the source menu
+    srv.register_control("samplerate", "float", src.samplerate,
+                         label="Sample rate (Hz)", min=0.0)
+    if hasattr(src, "set_gain"):
+        srv.register_control("gain", "float", 0.0, label="Gain (dB)",
+                             min=0.0, max=50.0)
+    if hasattr(src, "tones"):
+        srv.register_control("tone_offset", "float", args.tone,
+                             label="Test tone offset (Hz)")
+
+    def _on_control(name, value):
+        if name == "gain" and hasattr(src, "set_gain"):
+            src.set_gain(value)
+        elif name == "tone_offset" and hasattr(src, "tones"):
+            src.tones = [(value, -20.0)]
+
+    srv.on_control = _on_control
     log.info(f"baseband server on {args.addr}:{srv.port} fs={src.samplerate:g}")
     sent = 0
     try:

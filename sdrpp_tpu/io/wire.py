@@ -27,7 +27,8 @@ try:
 except Exception:  # pragma: no cover
     _ZSTD = False
 
-__all__ = ["BasebandServer", "BasebandClient", "PacketType", "Command"]
+__all__ = ["BasebandServer", "BasebandClient", "PacketType", "Command",
+           "Error"]
 
 
 class PacketType:
@@ -51,6 +52,13 @@ class Command:
     SET_COMPRESSION = 0x07
     SET_SAMPLERATE = 0x80
     DISCONNECT = 0x81
+
+
+class Error:
+    NONE = 0x00
+    INVALID_PACKET = 0x01
+    INVALID_COMMAND = 0x02
+    INVALID_ARGUMENT = 0x03
 
 
 _PKT = struct.Struct("<II")
@@ -94,6 +102,11 @@ class BasebandServer:
         self.port = self._listener.getsockname()[1]
         self._client = None
         self._lock = threading.Lock()
+        # One packet at a time on the wire: the data plane (send_baseband,
+        # main thread) and the control plane (acks/pushes, client thread)
+        # share the socket; unserialized sendall calls can interleave
+        # mid-packet and corrupt the framing.
+        self._send_lock = threading.Lock()
         self._cctx = zstandard.ZstdCompressor() if _ZSTD else None
         self._thread = threading.Thread(target=self._accept_loop, daemon=True)
         self._alive = True
@@ -101,6 +114,83 @@ class BasebandServer:
         self.on_start = None
         self.on_stop = None
         self.on_tune = None
+        # Remote-UI registry (the headless analog of SmGui draw-list
+        # mirroring, core/src/gui/smgui.h:8-60 + server.cpp:322-353: the
+        # reference serializes the source module's ImGui widgets to the
+        # client; we serialize the same information — control kind, id,
+        # value, bounds — as a JSON schema).
+        self._controls: dict[str, dict] = {}
+        self.on_control = None  # callback(name, value) after a UI_ACTION
+
+    def register_control(self, name: str, ctype: str, value=None, **meta):
+        """Expose a server-side parameter to remote clients.
+
+        ctype: 'float' | 'int' | 'bool' | 'enum' | 'str' | 'button'.
+        meta: min/max/step for numbers, options=[...] for enums, label.
+        """
+        assert ctype in ("float", "int", "bool", "enum", "str", "button")
+        if ctype == "enum":
+            assert meta.get("options"), "enum control needs options"
+        self._controls[name] = {"name": name, "type": ctype,
+                                "value": value, **meta}
+
+    def set_samplerate(self, samplerate: float):
+        """Update and push to the client (COMMAND_SET_SAMPLERATE, the one
+        server->client command, server_protocol.h:31)."""
+        self.samplerate = float(samplerate)
+        with self._lock:
+            client = self._client
+        if client is not None:
+            try:
+                self._send_locked(client, PacketType.COMMAND,
+                                  _CMD.pack(Command.SET_SAMPLERATE)
+                                  + struct.pack("<d", self.samplerate))
+            except OSError:
+                pass
+
+    def _apply_ui_action(self, body: bytes):
+        import json
+
+        try:
+            action = json.loads(body.decode("utf-8"))
+            name = action["name"]
+            value = action.get("value")
+        except Exception:
+            return None
+        ctl = self._controls.get(name)
+        if ctl is None:
+            return None
+        t = ctl["type"]
+        try:
+            if t == "float":
+                value = float(value)
+            elif t == "int":
+                value = int(value)
+            elif t == "bool":
+                value = bool(value)
+            elif t == "enum":
+                if value not in ctl["options"]:
+                    return None
+            elif t == "str":
+                value = str(value)
+            elif t == "button":
+                value = True
+        except (TypeError, ValueError):
+            return None
+        if t in ("float", "int"):
+            if "min" in ctl and value < ctl["min"]:
+                return None
+            if "max" in ctl and value > ctl["max"]:
+                return None
+        if t != "button":
+            ctl["value"] = value
+        if self.on_control:
+            self.on_control(name, value)
+        return name, value
+
+    def _send_locked(self, client, ptype: int, payload: bytes):
+        with self._send_lock:
+            _send_packet(client, ptype, payload)
 
     def _accept_loop(self):
         while self._alive:
@@ -122,7 +212,7 @@ class BasebandServer:
             while self._alive:
                 ptype, payload = _recv_packet(client)
                 if ptype != PacketType.COMMAND:
-                    _send_packet(client, PacketType.ERROR, struct.pack("<I", 1))
+                    self._send_locked(client, PacketType.ERROR, struct.pack("<I", 1))
                     continue
                 (cmd,) = _CMD.unpack_from(payload, 0)
                 body = payload[_CMD.size:]
@@ -138,9 +228,9 @@ class BasebandServer:
                     (self.frequency,) = struct.unpack("<d", body)
                     if self.on_tune:
                         self.on_tune(self.frequency)
-                    _send_packet(client, PacketType.COMMAND_ACK, _CMD.pack(cmd))
+                    self._send_locked(client, PacketType.COMMAND_ACK, _CMD.pack(cmd))
                 elif cmd == Command.GET_SAMPLERATE:
-                    _send_packet(client, PacketType.COMMAND_ACK,
+                    self._send_locked(client, PacketType.COMMAND_ACK,
                                  _CMD.pack(Command.GET_SAMPLERATE)
                                  + struct.pack("<d", self.samplerate))
                 elif cmd == Command.SET_SAMPLE_TYPE:
@@ -148,8 +238,22 @@ class BasebandServer:
                 elif cmd == Command.SET_COMPRESSION:
                     (flag,) = struct.unpack("<I", body)
                     self.compression = bool(flag) and _ZSTD
+                elif cmd == Command.GET_UI:
+                    import json
+                    schema = json.dumps(list(self._controls.values()))
+                    self._send_locked(client, PacketType.COMMAND_ACK,
+                                 _CMD.pack(Command.GET_UI)
+                                 + schema.encode("utf-8"))
+                elif cmd == Command.UI_ACTION:
+                    if self._apply_ui_action(body) is None:
+                        self._send_locked(client, PacketType.ERROR,
+                                     struct.pack("<I", Error.INVALID_ARGUMENT))
+                    else:
+                        self._send_locked(client, PacketType.COMMAND_ACK,
+                                     _CMD.pack(Command.UI_ACTION))
                 else:
-                    _send_packet(client, PacketType.ERROR, struct.pack("<I", 2))
+                    self._send_locked(client, PacketType.ERROR,
+                                 struct.pack("<I", Error.INVALID_COMMAND))
         except (ConnectionError, OSError):
             pass
         finally:
@@ -172,7 +276,7 @@ class BasebandServer:
             payload = frame
             ptype = PacketType.BASEBAND
         try:
-            _send_packet(client, ptype, payload)
+            self._send_locked(client, ptype, payload)
         except OSError:
             pass
 
@@ -193,6 +297,7 @@ class BasebandClient:
     def __init__(self, host: str, port: int):
         self._sock = socket.create_connection((host, port))
         self._dctx = zstandard.ZstdDecompressor() if _ZSTD else None
+        self._pending: list = []  # packets buffered while awaiting an ack
 
     def start(self):
         _send_packet(self._sock, PacketType.COMMAND, _CMD.pack(Command.START))
@@ -214,9 +319,52 @@ class BasebandClient:
                      _CMD.pack(Command.SET_COMPRESSION)
                      + struct.pack("<I", int(enabled)))
 
+    def _await_ack(self, cmd: int, timeout: float = 5.0):
+        """Read until the ack (or error) for ``cmd``, buffering everything
+        else for read_packet()."""
+        self._sock.settimeout(timeout)
+        try:
+            while True:
+                ptype, payload = _recv_packet(self._sock)
+                if ptype == PacketType.COMMAND_ACK:
+                    (acked,) = _CMD.unpack_from(payload, 0)
+                    if acked == cmd:
+                        return True, payload[_CMD.size:]
+                elif ptype == PacketType.ERROR:
+                    (code,) = struct.unpack_from("<I", payload, 0)
+                    return False, code
+                self._pending.append((ptype, payload))
+        finally:
+            self._sock.settimeout(None)
+
+    def get_ui(self, timeout: float = 5.0):
+        """Fetch the server's control schema (COMMAND_GET_UI) as a list of
+        dicts {name, type, value, ...bounds} — the headless SmGui."""
+        import json
+
+        _send_packet(self._sock, PacketType.COMMAND, _CMD.pack(Command.GET_UI))
+        ok, body = self._await_ack(Command.GET_UI, timeout)
+        if not ok:
+            raise RuntimeError(f"GET_UI failed with error {body}")
+        return json.loads(body.decode("utf-8"))
+
+    def ui_action(self, name: str, value=None, timeout: float = 5.0) -> bool:
+        """Apply a control change on the server (COMMAND_UI_ACTION).
+        Returns True on ack, False on server-side validation error."""
+        import json
+
+        payload = json.dumps({"name": name, "value": value}).encode("utf-8")
+        _send_packet(self._sock, PacketType.COMMAND,
+                     _CMD.pack(Command.UI_ACTION) + payload)
+        ok, _ = self._await_ack(Command.UI_ACTION, timeout)
+        return ok
+
     def read_packet(self):
         """Blocking read -> ('baseband', iq) | ('ack', cmd, body) | other."""
-        ptype, payload = _recv_packet(self._sock)
+        if self._pending:
+            ptype, payload = self._pending.pop(0)
+        else:
+            ptype, payload = _recv_packet(self._sock)
         if ptype == PacketType.BASEBAND:
             return "baseband", unpack_frame(payload)
         if ptype == PacketType.BASEBAND_COMPRESSED:
@@ -224,6 +372,12 @@ class BasebandClient:
         if ptype == PacketType.COMMAND_ACK:
             (cmd,) = _CMD.unpack_from(payload, 0)
             return "ack", cmd, payload[_CMD.size:]
+        if ptype == PacketType.COMMAND:
+            (cmd,) = _CMD.unpack_from(payload, 0)
+            if cmd == Command.SET_SAMPLERATE:
+                (fs,) = struct.unpack_from("<d", payload, _CMD.size)
+                return "set_samplerate", fs
+            return "command", cmd, payload[_CMD.size:]
         return "other", ptype, payload
 
     def close(self):

@@ -331,3 +331,57 @@ def test_cli_source_dispatch_kiwisdr():
     args = argparse.Namespace(source="kiwisdr:127.0.0.1:1", tone=0.0)
     with pytest.raises(OSError):
         _make_source(args)
+
+
+def test_remote_ui_schema_and_actions():
+    """GET_UI / UI_ACTION: the headless analog of the reference's SmGui
+    remote menu mirroring (server.cpp:322-353) — schema fetch, validated
+    set, rejection of unknown/out-of-range values, baseband interleave."""
+    rng = np.random.default_rng(3)
+    srv = BasebandServer(samplerate=48000.0, pcm_type=PCM_TYPE_I16)
+    srv.register_control("gain", "float", 20.0, label="Gain (dB)",
+                         min=0.0, max=49.6)
+    srv.register_control("agc", "bool", False)
+    srv.register_control("antenna", "enum", "A", options=["A", "B"])
+    applied = []
+    srv.on_control = lambda n, v: applied.append((n, v))
+    cli = BasebandClient("127.0.0.1", srv.port)
+    try:
+        ui = cli.get_ui()
+        assert [c["name"] for c in ui] == ["gain", "agc", "antenna"]
+        gain = next(c for c in ui if c["name"] == "gain")
+        assert gain["type"] == "float" and gain["value"] == 20.0
+        assert gain["min"] == 0.0 and gain["max"] == 49.6
+
+        assert cli.ui_action("gain", 33.5)
+        assert cli.ui_action("antenna", "B")
+        assert not cli.ui_action("gain", 80.0)       # out of range
+        assert not cli.ui_action("antenna", "C")     # not an option
+        assert not cli.ui_action("nonexistent", 1)   # unknown control
+        assert applied == [("gain", 33.5), ("antenna", "B")]
+        ui2 = cli.get_ui()
+        assert next(c for c in ui2 if c["name"] == "gain")["value"] == 33.5
+        assert next(c for c in ui2 if c["name"] == "antenna")["value"] == "B"
+
+        # a baseband block sent while a GET_UI ack is in flight must not be
+        # lost: it is buffered and drained by the next read_packet
+        cli.start()
+        deadline = time.time() + 5
+        while not srv.running and time.time() < deadline:
+            time.sleep(0.01)
+        x = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024)) \
+            .astype(np.complex64) * 0.5
+        srv.send_baseband(x)
+        time.sleep(0.2)  # let the baseband packet land ahead of the ack
+        ui3 = cli.get_ui()
+        assert isinstance(ui3, list)
+        kind, iq = cli.read_packet()
+        assert kind == "baseband" and iq.shape == (1024,)
+
+        # server -> client samplerate push
+        srv.set_samplerate(96000.0)
+        kind, fs = cli.read_packet()
+        assert kind == "set_samplerate" and fs == 96000.0
+    finally:
+        cli.close()
+        srv.close()

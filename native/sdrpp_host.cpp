@@ -16,7 +16,146 @@
 #include <cstdlib>
 #include <cstdio>
 
+#include <algorithm>
+#include <condition_variable>
+#include <functional>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+// ---------------------------------------------------------------------------
+// Persistent fork-join pool for the host conversion loops.
+//
+// The SURVEY §7 hard-part budget asks for >=1 Gsample/s of host ingest per
+// host (8 GB/s of f32 IQ); the scalar loops below saturate one core around
+// 0.3 Gsample/s, so the converters self-schedule chunks of large blocks
+// across a small worker pool (the reference gets the same effect from its
+// one-thread-per-block runtime, block.h:70-76). Workers are lazily created
+// once and never torn down (avoids interpreter-shutdown join hangs when the
+// library is held by a Python process). SDRPP_HOST_THREADS=1 forces serial.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+class WorkPool {
+public:
+    static WorkPool& instance() {
+        static WorkPool* p = new WorkPool();  // intentionally leaked
+        return *p;
+    }
+
+    size_t threads() const { return workers_.size() + 1; }
+
+    // Run fn(begin, end) over [0, n) in `grain`-sized chunks on the pool
+    // plus the calling thread; serial when small or pool disabled.
+    void run(size_t n, size_t grain,
+             const std::function<void(size_t, size_t)>& fn) {
+        if (n == 0) return;
+        if (workers_.empty() || n <= grain) {
+            fn(0, n);
+            return;
+        }
+        {
+            std::lock_guard<std::mutex> lk(m_);
+            job_ = &fn;
+            n_ = n;
+            grain_ = grain;
+            next_.store(0, std::memory_order_relaxed);
+            pending_ = (int)workers_.size();
+            epoch_++;
+        }
+        cv_.notify_all();
+        work(&fn, n, grain);  // caller participates
+        std::unique_lock<std::mutex> lk(m_);
+        done_cv_.wait(lk, [&] { return pending_ == 0; });
+        job_ = nullptr;
+    }
+
+private:
+    WorkPool() {
+        unsigned hw = std::thread::hardware_concurrency();
+        size_t nw = hw > 1 ? (size_t)std::min(hw, 16u) - 1 : 0;
+        if (const char* env = std::getenv("SDRPP_HOST_THREADS")) {
+            long v = std::strtol(env, nullptr, 10);
+            nw = v > 1 ? (size_t)v - 1 : 0;
+        }
+        for (size_t i = 0; i < nw; i++) {
+            workers_.emplace_back([this]() {
+                uint64_t seen = 0;
+                for (;;) {
+                    const std::function<void(size_t, size_t)>* job;
+                    size_t n, grain;
+                    {
+                        std::unique_lock<std::mutex> lk(m_);
+                        cv_.wait(lk, [&] { return epoch_ != seen; });
+                        seen = epoch_;
+                        job = job_;
+                        n = n_;
+                        grain = grain_;
+                    }
+                    work(job, n, grain);
+                    std::lock_guard<std::mutex> lk(m_);
+                    if (--pending_ == 0) done_cv_.notify_one();
+                }
+            });
+            workers_.back().detach();
+        }
+    }
+
+    void work(const std::function<void(size_t, size_t)>* job, size_t n,
+              size_t grain) {
+        for (;;) {
+            size_t b = next_.fetch_add(grain, std::memory_order_relaxed);
+            if (b >= n) break;
+            (*job)(b, std::min(b + grain, n));
+        }
+    }
+
+    std::vector<std::thread> workers_;
+    std::mutex m_;
+    std::condition_variable cv_, done_cv_;
+    const std::function<void(size_t, size_t)>* job_ = nullptr;
+    size_t n_ = 0, grain_ = 0;
+    std::atomic<size_t> next_{0};
+    int pending_ = 0;
+    uint64_t epoch_ = 0;
+};
+
+inline void parallel_for(size_t n, size_t grain,
+                         const std::function<void(size_t, size_t)>& fn) {
+    WorkPool::instance().run(n, grain, fn);
+}
+
+// Parallel max over floats (for the wire-codec block scaler).
+inline float parallel_max(const float* in, size_t count) {
+    constexpr size_t kGrain = 1 << 18;
+    if (count <= kGrain) {
+        float m = in[0];
+        for (size_t i = 1; i < count; i++) m = in[i] > m ? in[i] : m;
+        return m;
+    }
+    std::atomic<int> slot{0};
+    float partial[64];
+    size_t grain = std::max(kGrain, (count + 63) / 64);
+    parallel_for(count, grain, [&](size_t b, size_t e) {
+        float m = in[b];
+        for (size_t i = b + 1; i < e; i++) m = in[i] > m ? in[i] : m;
+        partial[slot.fetch_add(1)] = m;
+    });
+    float m = partial[0];
+    for (int i = 1; i < slot.load(); i++) m = partial[i] > m ? partial[i] : m;
+    return m;
+}
+
+constexpr size_t kFrameGrain = 1 << 16;   // frames per chunk (~0.5 MB out)
+constexpr size_t kValueGrain = 1 << 18;   // scalar values per chunk
+
+}  // namespace
+
 extern "C" {
+
+// Number of threads the host conversion pool uses (workers + caller).
+size_t host_pool_threads() { return WorkPool::instance().threads(); }
 
 // ---------------------------------------------------------------------------
 // SPSC ring buffer of complex64 samples (8 bytes each).
@@ -91,37 +230,43 @@ size_t ring_read(RingBuffer* rb, float* iq, size_t n) {
 // ---------------------------------------------------------------------------
 
 float wire_quantize_i8(const float* in, int8_t* out, size_t count) {
-    float maxv = in[0];
-    for (size_t i = 1; i < count; i++) maxv = in[i] > maxv ? in[i] : maxv;
+    const float maxv = parallel_max(in, count);
     const float scale = 128.0f / maxv;
-    for (size_t i = 0; i < count; i++) {
-        float v = std::nearbyintf(in[i] * scale);
-        v = v > 127.f ? 127.f : (v < -128.f ? -128.f : v);
-        out[i] = (int8_t)v;
-    }
+    parallel_for(count, kValueGrain, [&](size_t b, size_t e) {
+        for (size_t i = b; i < e; i++) {
+            float v = std::nearbyintf(in[i] * scale);
+            v = v > 127.f ? 127.f : (v < -128.f ? -128.f : v);
+            out[i] = (int8_t)v;
+        }
+    });
     return maxv;
 }
 
 float wire_quantize_i16(const float* in, int16_t* out, size_t count) {
-    float maxv = in[0];
-    for (size_t i = 1; i < count; i++) maxv = in[i] > maxv ? in[i] : maxv;
+    const float maxv = parallel_max(in, count);
     const float scale = 32768.0f / maxv;
-    for (size_t i = 0; i < count; i++) {
-        float v = std::nearbyintf(in[i] * scale);
-        v = v > 32767.f ? 32767.f : (v < -32768.f ? -32768.f : v);
-        out[i] = (int16_t)v;
-    }
+    parallel_for(count, kValueGrain, [&](size_t b, size_t e) {
+        for (size_t i = b; i < e; i++) {
+            float v = std::nearbyintf(in[i] * scale);
+            v = v > 32767.f ? 32767.f : (v < -32768.f ? -32768.f : v);
+            out[i] = (int16_t)v;
+        }
+    });
     return maxv;
 }
 
 void wire_dequantize_i8(const int8_t* in, float* out, size_t count, float scaler) {
     const float scale = scaler / 128.0f;
-    for (size_t i = 0; i < count; i++) out[i] = in[i] * scale;
+    parallel_for(count, kValueGrain, [&](size_t b, size_t e) {
+        for (size_t i = b; i < e; i++) out[i] = in[i] * scale;
+    });
 }
 
 void wire_dequantize_i16(const int16_t* in, float* out, size_t count, float scaler) {
     const float scale = scaler / 32768.0f;
-    for (size_t i = 0; i < count; i++) out[i] = in[i] * scale;
+    parallel_for(count, kValueGrain, [&](size_t b, size_t e) {
+        for (size_t i = b; i < e; i++) out[i] = in[i] * scale;
+    });
 }
 
 // ---------------------------------------------------------------------------
@@ -132,92 +277,105 @@ void wire_dequantize_i16(const int16_t* in, float* out, size_t count, float scal
 
 void conv_pcm8_iq(const uint8_t* in, float* iq, size_t frames, int channels) {
     const float s = 1.0f / 128.0f;
-    if (channels >= 2) {
-        for (size_t i = 0; i < frames; i++) {
-            iq[2 * i] = ((float)in[channels * i] - 128.0f) * s;
-            iq[2 * i + 1] = ((float)in[channels * i + 1] - 128.0f) * s;
+    parallel_for(frames, kFrameGrain, [&](size_t b, size_t e) {
+        if (channels >= 2) {
+            for (size_t i = b; i < e; i++) {
+                iq[2 * i] = ((float)in[channels * i] - 128.0f) * s;
+                iq[2 * i + 1] = ((float)in[channels * i + 1] - 128.0f) * s;
+            }
+        } else {
+            for (size_t i = b; i < e; i++) {
+                float v = ((float)in[i] - 128.0f) * s;
+                iq[2 * i] = v;
+                iq[2 * i + 1] = v;
+            }
         }
-    } else {
-        for (size_t i = 0; i < frames; i++) {
-            float v = ((float)in[i] - 128.0f) * s;
-            iq[2 * i] = v;
-            iq[2 * i + 1] = v;
-        }
-    }
+    });
 }
 
 void conv_pcm16_iq(const int16_t* in, float* iq, size_t frames, int channels) {
     const float s = 1.0f / 32768.0f;
-    if (channels >= 2) {
-        for (size_t i = 0; i < frames; i++) {
-            iq[2 * i] = in[channels * i] * s;
-            iq[2 * i + 1] = in[channels * i + 1] * s;
+    parallel_for(frames, kFrameGrain, [&](size_t b, size_t e) {
+        if (channels >= 2) {
+            for (size_t i = b; i < e; i++) {
+                iq[2 * i] = in[channels * i] * s;
+                iq[2 * i + 1] = in[channels * i + 1] * s;
+            }
+        } else {
+            for (size_t i = b; i < e; i++) {
+                float v = in[i] * s;
+                iq[2 * i] = v;
+                iq[2 * i + 1] = v;
+            }
         }
-    } else {
-        for (size_t i = 0; i < frames; i++) {
-            float v = in[i] * s;
-            iq[2 * i] = v;
-            iq[2 * i + 1] = v;
-        }
-    }
+    });
 }
 
 void conv_pcm24_iq(const uint8_t* in, float* iq, size_t frames, int channels) {
     const float s = 1.0f / 8388608.0f;
-    for (size_t i = 0; i < frames; i++) {
-        for (int c = 0; c < 2; c++) {
-            int cc = channels >= 2 ? c : 0;
-            const uint8_t* p = in + 3 * (channels * i + cc);
-            int32_t v = (int32_t)p[0] | ((int32_t)p[1] << 8) | ((int32_t)p[2] << 16);
-            if (v & 0x800000) v -= 0x1000000;
-            iq[2 * i + c] = v * s;
+    parallel_for(frames, kFrameGrain, [&](size_t b, size_t e) {
+        for (size_t i = b; i < e; i++) {
+            for (int c = 0; c < 2; c++) {
+                int cc = channels >= 2 ? c : 0;
+                const uint8_t* p = in + 3 * (channels * i + cc);
+                int32_t v = (int32_t)p[0] | ((int32_t)p[1] << 8) |
+                            ((int32_t)p[2] << 16);
+                if (v & 0x800000) v -= 0x1000000;
+                iq[2 * i + c] = v * s;
+            }
         }
-    }
+    });
 }
 
 void conv_pcm32_iq(const int32_t* in, float* iq, size_t frames, int channels) {
     const float s = 1.0f / 2147483648.0f;
-    if (channels >= 2) {
-        for (size_t i = 0; i < frames; i++) {
-            iq[2 * i] = in[channels * i] * s;
-            iq[2 * i + 1] = in[channels * i + 1] * s;
+    parallel_for(frames, kFrameGrain, [&](size_t b, size_t e) {
+        if (channels >= 2) {
+            for (size_t i = b; i < e; i++) {
+                iq[2 * i] = in[channels * i] * s;
+                iq[2 * i + 1] = in[channels * i + 1] * s;
+            }
+        } else {
+            for (size_t i = b; i < e; i++) {
+                float v = in[i] * s;
+                iq[2 * i] = v;
+                iq[2 * i + 1] = v;
+            }
         }
-    } else {
-        for (size_t i = 0; i < frames; i++) {
-            float v = in[i] * s;
-            iq[2 * i] = v;
-            iq[2 * i + 1] = v;
-        }
-    }
+    });
 }
 
 void conv_f32_iq(const float* in, float* iq, size_t frames, int channels) {
-    if (channels >= 2) {
-        for (size_t i = 0; i < frames; i++) {
-            iq[2 * i] = in[channels * i];
-            iq[2 * i + 1] = in[channels * i + 1];
+    parallel_for(frames, kFrameGrain, [&](size_t b, size_t e) {
+        if (channels >= 2) {
+            for (size_t i = b; i < e; i++) {
+                iq[2 * i] = in[channels * i];
+                iq[2 * i + 1] = in[channels * i + 1];
+            }
+        } else {
+            for (size_t i = b; i < e; i++) {
+                iq[2 * i] = in[i];
+                iq[2 * i + 1] = in[i];
+            }
         }
-    } else {
-        for (size_t i = 0; i < frames; i++) {
-            iq[2 * i] = in[i];
-            iq[2 * i + 1] = in[i];
-        }
-    }
+    });
 }
 
 void conv_f64_iq(const double* in, float* iq, size_t frames, int channels) {
-    if (channels >= 2) {
-        for (size_t i = 0; i < frames; i++) {
-            iq[2 * i] = (float)in[channels * i];
-            iq[2 * i + 1] = (float)in[channels * i + 1];
+    parallel_for(frames, kFrameGrain, [&](size_t b, size_t e) {
+        if (channels >= 2) {
+            for (size_t i = b; i < e; i++) {
+                iq[2 * i] = (float)in[channels * i];
+                iq[2 * i + 1] = (float)in[channels * i + 1];
+            }
+        } else {
+            for (size_t i = b; i < e; i++) {
+                float v = (float)in[i];
+                iq[2 * i] = v;
+                iq[2 * i + 1] = v;
+            }
         }
-    } else {
-        for (size_t i = 0; i < frames; i++) {
-            float v = (float)in[i];
-            iq[2 * i] = v;
-            iq[2 * i + 1] = v;
-        }
-    }
+    });
 }
 
 }  // extern "C"

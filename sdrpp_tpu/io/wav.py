@@ -200,6 +200,7 @@ class WavStreamReader:
     def read(self, n: int, loop: bool = True) -> np.ndarray:
         """Read n frames as complex64 IQ (mono duplicates I)."""
         out = np.empty(n, np.complex64)
+        outf = out.view(np.float32)
         got = 0
         while got < n:
             take = min(n - got, self.num_frames - self.pos)
@@ -210,35 +211,50 @@ class WavStreamReader:
                 self.pos = 0
                 continue
             start = self._data_off + self.pos * self._frame_bytes
-            raw = self._mm[start : start + take * self._frame_bytes]
-            out[got : got + take] = self._convert(raw, take)
+            fn = self._native_fn()
+            if fn is not None:
+                # zero-copy: convert straight from the mapped data chunk
+                # into the caller's complex64 buffer (no mmap slice copy,
+                # no temp float buffer) — the host-ingest hot path.
+                raw = np.frombuffer(self._mm, np.uint8,
+                                    count=take * self._frame_bytes,
+                                    offset=start)
+                dst = outf[2 * got : 2 * (got + take)]
+                fn(raw.ctypes.data, dst.ctypes.data, take, self.info.channels)
+            else:
+                raw = self._mm[start : start + take * self._frame_bytes]
+                out[got : got + take] = self._convert(raw, take)
             got += take
             self.pos += take
             if self.pos >= self.num_frames and loop:
                 self.pos = 0
         return out
 
-    def _convert(self, raw: bytes, frames: int) -> np.ndarray:
-        info = self.info
+    def _native_fn(self):
         try:
             from ..utils import native
             lib = native.load()
         except Exception:
-            lib = None
-        if lib is not None:
+            return None
+        if lib is None:
+            return None
+        return {
+            (WAVE_FORMAT_PCM, 8): lib.conv_pcm8_iq,
+            (WAVE_FORMAT_PCM, 16): lib.conv_pcm16_iq,
+            (WAVE_FORMAT_PCM, 24): lib.conv_pcm24_iq,
+            (WAVE_FORMAT_PCM, 32): lib.conv_pcm32_iq,
+            (WAVE_FORMAT_IEEE_FLOAT, 32): lib.conv_f32_iq,
+            (WAVE_FORMAT_IEEE_FLOAT, 64): lib.conv_f64_iq,
+        }.get((self.info.format, self.info.bits))
+
+    def _convert(self, raw: bytes, frames: int) -> np.ndarray:
+        info = self.info
+        fn = self._native_fn()
+        if fn is not None:
             buf = np.frombuffer(raw, np.uint8)
             out = np.empty(2 * frames, np.float32)
-            fn = {
-                (WAVE_FORMAT_PCM, 8): lib.conv_pcm8_iq,
-                (WAVE_FORMAT_PCM, 16): lib.conv_pcm16_iq,
-                (WAVE_FORMAT_PCM, 24): lib.conv_pcm24_iq,
-                (WAVE_FORMAT_PCM, 32): lib.conv_pcm32_iq,
-                (WAVE_FORMAT_IEEE_FLOAT, 32): lib.conv_f32_iq,
-                (WAVE_FORMAT_IEEE_FLOAT, 64): lib.conv_f64_iq,
-            }.get((info.format, info.bits))
-            if fn is not None:
-                fn(buf.ctypes.data, out.ctypes.data, frames, info.channels)
-                return out.view(np.complex64)
+            fn(buf.ctypes.data, out.ctypes.data, frames, info.channels)
+            return out.view(np.complex64)
         data = _decode_samples(raw, info.format, info.bits, info.channels)
         if info.channels == 1:
             i = q = data[:, 0]

@@ -383,6 +383,39 @@ def cmd_serve(argv):
         srv.close()
 
 
+def cmd_ui(argv):
+    """Web panadapter: spectrum/waterfall + tuning + audio in a browser
+    (the reference GUI's role on a headless TPU host, misc/webui.py)."""
+    p = argparse.ArgumentParser(prog="sdrpp_tpu ui")
+    _add_source_args(p)
+    p.add_argument("--addr", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8073)
+    p.add_argument("--mode", default="wfm",
+                   choices=["wfm", "nfm", "am", "usb", "lsb", "dsb", "cw"])
+    p.add_argument("--offset", type=float, default=0.0, help="VFO offset Hz")
+    p.add_argument("--bandwidth", type=float, default=None)
+    p.add_argument("--squelch", type=float, default=None)
+    p.add_argument("--audio-rate", type=float, default=48000.0)
+    p.add_argument("--fft-size", type=int, default=16384)
+    p.add_argument("--fft-rate", type=float, default=20.0)
+    p.add_argument("--block-size", type=int, default=262144)
+    p.add_argument("--no-realtime", action="store_true",
+                   help="process as fast as possible (file benchmarking)")
+    args = p.parse_args(argv)
+
+    from .misc.webui import ReceiverEngine, serve_ui
+
+    src = _make_source(args)
+    if hasattr(src, "loop"):
+        src.loop = True  # a UI session should not stop at file EOF
+    engine = ReceiverEngine(src, mode=args.mode, offset=args.offset,
+                            bandwidth=args.bandwidth, squelch=args.squelch,
+                            audio_rate=args.audio_rate, fft_size=args.fft_size,
+                            fft_rate=args.fft_rate, base_block=args.block_size,
+                            realtime=not args.no_realtime)
+    serve_ui(engine, args.addr, args.port)
+
+
 def cmd_scan(argv):
     p = argparse.ArgumentParser(prog="sdrpp_tpu scan")
     _add_source_args(p)
@@ -551,6 +584,7 @@ COMMANDS = {
     "bank": cmd_bank,
     "spectrum": cmd_spectrum,
     "serve": cmd_serve,
+    "ui": cmd_ui,
     "scan": cmd_scan,
     "bench": cmd_bench,
 }

@@ -1,0 +1,176 @@
+"""Web panadapter (misc/webui.py): engine + HTTP API, headless.
+
+The browser page is not exercised here; the API it consumes is — state
+JSON, binary FFT/waterfall endpoints, the control plane (click-to-tune =
+set_offset, demod menu = set_mode), and the progressive WAV audio stream.
+"""
+
+import json
+import struct
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from sdrpp_tpu.io.sources import TestSource
+from sdrpp_tpu.misc.webui import ReceiverEngine, WebUIServer
+
+
+def _engine(**kw):
+    src = TestSource(1000000.0, tones=[(100000.0, -20.0)], noise_dbfs=-90.0)
+    kw.setdefault("mode", "nfm")
+    kw.setdefault("offset", 100000.0)
+    kw.setdefault("fft_size", 4096)
+    kw.setdefault("base_block", 65536)
+    kw.setdefault("realtime", False)
+    return ReceiverEngine(src, **kw)
+
+
+def _wait(pred, timeout=60.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(0.05)
+    return False
+
+
+@pytest.fixture(scope="module")
+def server():
+    eng = _engine()
+    srv = WebUIServer(eng, port=0)
+    import threading
+
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    eng.start()
+    assert _wait(lambda: eng.blocks >= 2), eng.error
+    yield srv, eng, f"http://127.0.0.1:{srv.server_address[1]}"
+    eng.stop()
+    srv.shutdown()
+    srv.server_close()
+
+
+def _get(url, binary=False):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        body = r.read()
+        return (body, dict(r.headers)) if binary else json.loads(body)
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(),
+                                 method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_index_and_state(server):
+    _, eng, base = server
+    with urllib.request.urlopen(base + "/", timeout=30) as r:
+        page = r.read().decode()
+    assert "<canvas" in page and "/api/state" in page
+
+    st = _get(base + "/api/state")
+    assert st["samplerate"] == 1000000.0
+    assert st["mode"] == "nfm" and st["offset"] == 100000.0
+    assert st["running"] and st["error"] is None
+    assert st["blocks"] >= 2
+
+
+def test_fft_endpoint_sees_the_tone(server):
+    _, eng, base = server
+    body, hdrs = _get(base + "/api/fft", binary=True)
+    line = np.frombuffer(body, "<f4")
+    assert len(line) == eng.waterfall.data_width
+    # the -20 dBFS tone at +100 kHz must be the spectral peak
+    peak = np.argmax(line)
+    frac = peak / len(line) - 0.5
+    assert abs(frac * 1000000.0 - 100000.0) < 5000.0
+    assert line[peak] > line.mean() + 20.0
+
+
+def test_waterfall_rows_advance(server):
+    _, eng, base = server
+    body, hdrs = _get(base + "/api/waterfall?since=0", binary=True)
+    line0 = int(hdrs["X-Line"])
+    rows = int(hdrs["X-Rows"])
+    width = int(hdrs["X-Width"])
+    assert rows >= 1 and width == eng.waterfall.data_width
+    assert len(body) == rows * width * 4
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)
+    _, hdrs2 = _get(base + f"/api/waterfall?since={line0}", binary=True)
+    assert int(hdrs2["X-Line"]) > line0
+
+
+def test_control_set_offset_and_mode(server):
+    _, eng, base = server
+    code, resp = _post(base + "/api/control",
+                       {"action": "set_offset", "value": -200000.0})
+    assert code == 200 and resp["ok"]
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)  # rebuild + next block
+    st = _get(base + "/api/state")
+    assert st["offset"] == -200000.0
+
+    code, resp = _post(base + "/api/control",
+                       {"action": "set_mode", "value": "am"})
+    assert code == 200
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)
+    st = _get(base + "/api/state")
+    assert st["mode"] == "am" and st["error"] is None
+    # restore
+    _post(base + "/api/control", {"action": "set_mode", "value": "nfm"})
+    _post(base + "/api/control", {"action": "set_offset", "value": 100000.0})
+
+
+def test_control_rejects_garbage(server):
+    _, _, base = server
+    code, resp = _post(base + "/api/control", {"action": "frobnicate"})
+    assert code == 400 and "unknown action" in resp["error"]
+    code, resp = _post(base + "/api/control",
+                       {"action": "set_mode", "value": "chirp"})
+    assert code == 400
+
+
+def test_audio_stream_is_progressive_wav(server):
+    _, eng, base = server
+    with urllib.request.urlopen(base + "/audio.wav", timeout=30) as r:
+        hdr = r.read(44)
+        assert hdr[:4] == b"RIFF" and hdr[8:12] == b"WAVE"
+        fmt, channels, rate = struct.unpack_from("<HHI", hdr, 20)
+        assert (fmt, channels, rate) == (1, 2, int(eng.audio_rate))
+        (bits,) = struct.unpack_from("<H", hdr, 34)
+        assert bits == 16
+        pcm = r.read(4 * 4800)  # 4800 stereo frames
+        assert len(pcm) == 4 * 4800
+
+
+def test_volume_and_range_controls(server):
+    _, eng, base = server
+    _post(base + "/api/control", {"action": "set_volume", "value": 0.5})
+    assert eng.volume == 0.5
+    _post(base + "/api/control", {"action": "set_range",
+                                  "value": [-90.0, -10.0]})
+    st = _get(base + "/api/state")
+    assert st["waterfall_min"] == -90.0 and st["waterfall_max"] == -10.0
+    _post(base + "/api/control", {"action": "auto_range"})
+    st = _get(base + "/api/state")
+    assert st["waterfall_min"] != -90.0 or st["waterfall_max"] != -10.0
+
+
+def test_engine_fft_hold_trace(server):
+    _, eng, base = server
+    _post(base + "/api/control", {"action": "set_fft_hold", "value": True})
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)
+    body, hdrs = _get(base + "/api/fft", binary=True)
+    assert hdrs.get("X-Hold") == "1"
+    both = np.frombuffer(body, "<f4")
+    assert len(both) == 2 * eng.waterfall.data_width
+    _post(base + "/api/control", {"action": "set_fft_hold", "value": False})

@@ -164,6 +164,19 @@ class PolyphaseResampler(Block):
         new_tail = buf[..., n:]
         i, d, tpp = self.interp, self.decim, self.tpp
 
+        if i == 1 and tpp > 1:
+            # Pure decimation (e.g. the 240k->48k AF stage in every WFM
+            # chain): the bank degenerates to the plain taps and the
+            # per-output recurrence to y[k] = sum_t taps[t]*buf[k*d + t]
+            # with an (m-1)-sample tail — exactly decimating_fir_correlate,
+            # whose polyphase/strided-conv forms run ~50x faster on the
+            # chip than the tpp-unrolled grouped loop below.
+            from .fir import decimating_fir_correlate
+
+            new_tail, y = decimating_fir_correlate(state, x, self._taps, d)
+            y = y.astype(self.dtype) if jnp.iscomplexobj(x) else y
+            return new_tail, y
+
         if i > 1 and i * tpp > i and _prefer_zero_stuff():
             # Zero-stuff + decimating polyphase correlation: the textbook
             # L/M identity — upsample by i (zeros), stride-d decimating

@@ -75,3 +75,47 @@ def test_fir_direct_mode_matches_fft():
             np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     finally:
         fir_mod.FIR_MODE = old
+
+
+def test_polyphase_pure_decimation_delegates_correctly():
+    """interp==1 routes through decimating_fir_correlate; output and
+    carried tail must equal the gather form (the generic oracle),
+    including across block boundaries, complex and float."""
+    from sdrpp_tpu.ops import resample as rs
+
+    rng = np.random.default_rng(13)
+    taps = rs.low_pass(20000.0, 5000.0, 240000.0)
+    for dtype in (np.complex64, np.float32):
+        x = rng.standard_normal((2, 3000)).astype(np.float32)
+        x = (x[0] + 1j * x[1]).astype(dtype) if dtype == np.complex64 \
+            else x[0]
+        jdt = jnp.complex64 if dtype == np.complex64 else jnp.float32
+        fast = rs.PolyphaseResampler(1, 5, taps, dtype=jdt)
+        old = rs.GROUPED_MAX_UNROLL
+        try:
+            rs.GROUPED_MAX_UNROLL = 0
+            # also disable the i==1 fast branch to reach the gather oracle
+            slow = rs.PolyphaseResampler(1, 5, taps, dtype=jdt)
+            slow_tpp = slow.tpp
+            slow.tpp = slow_tpp  # gather path selected by unroll cap
+            st_f = fast.init_state()
+            st_s = slow.init_state()
+            for blk in (x[:1500], x[1500:]):
+                st_f, y_f = jax.jit(fast)(st_f, jnp.asarray(blk))
+                # gather form: bypass the i==1 branch by calling the
+                # index-table path directly
+                n = blk.shape[-1]
+                buf = jnp.concatenate([st_s, jnp.asarray(blk)], axis=-1)
+                offsets, taps_sel = slow._index_tables(n)
+                idx = offsets[:, None] + np.arange(slow.tpp,
+                                                   dtype=np.int32)[None, :]
+                y_s = jnp.sum(buf[..., jnp.asarray(idx)]
+                              * jnp.asarray(taps_sel), axis=-1)
+                st_s = buf[..., n:]
+                np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_s),
+                                           rtol=0, atol=3e-6)
+                np.testing.assert_allclose(np.asarray(st_f),
+                                           np.asarray(st_s), rtol=0,
+                                           atol=0)
+        finally:
+            rs.GROUPED_MAX_UNROLL = old

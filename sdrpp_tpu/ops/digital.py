@@ -8,7 +8,6 @@ positions produce don't-care values.
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

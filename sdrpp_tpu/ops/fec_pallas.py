@@ -41,7 +41,6 @@ def viterbi_acs_pallas(soft: jax.Array, expected: jax.Array, num_states: int,
 
     ``expected``: [2S, R] expected soft levels per register (0/255).
     """
-    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     T, R = soft.shape

@@ -8,7 +8,6 @@ On TPU these are strided reshapes with a carried partial frame.
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -42,6 +42,7 @@ class Receiver:
         self._state = None
         self._step = None
         self.fft_lines: list[np.ndarray] = []
+        self.max_fft_lines = 2048  # raw-FFT ring bound (waterfall.cpp:883)
 
     # ---- VFO management (vfo_manager.h:6-67 equivalent) ----
 
@@ -119,6 +120,10 @@ class Receiver:
             self.sinks.write(name, arr)
         fft_np = np.asarray(fft)
         self.fft_lines.extend(list(fft_np))
+        # bound like the reference's raw-FFT ring (waterfallHeight lines,
+        # waterfall.cpp:883-895) — long sessions must not grow memory
+        if len(self.fft_lines) > self.max_fft_lines:
+            del self.fft_lines[: len(self.fft_lines) - self.max_fft_lines]
         return audio, fft_np
 
     def run(self, num_blocks: int):

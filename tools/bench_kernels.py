@@ -99,6 +99,13 @@ def main():
 
     guard("Spectrum 1M-FFT", lambda: speed_test(_Spec1M(), 1 << 20, iters=10))
 
+    # shared-FFT channelizer bank (the production VFO bank)
+    from sdrpp_tpu.ops.channelizer import FFTChannelizerBank
+
+    guard("FFT channelizer x64 /128", lambda: speed_test(
+        FFTChannelizerBank(np.linspace(-2.4e6, 2.4e6, 64), 6144000.0,
+                           48000.0, bandwidth=12500.0), n))
+
     # digital chains: clock recovery is the hardest sequential kernel
     from sdrpp_tpu.models.digital import GFSKDemod, MeteorDemod
     from sdrpp_tpu.ops.clock_recovery import MMClockRecovery

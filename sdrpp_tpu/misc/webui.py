@@ -45,9 +45,12 @@ MODES = ["wfm", "nfm", "am", "usb", "lsb", "dsb", "cw"]
 class ReceiverEngine:
     """Background receive chain feeding the web UI.
 
-    One VFO (like ``cli run``), a spectrum branch, and an audio ring.
-    Thread-safe: control via :meth:`control`, reads via :meth:`snapshot`/
-    :meth:`read_fft`/:meth:`read_waterfall_rows`/:meth:`read_audio`.
+    N simultaneous VFOs demodulated in ONE jitted step per block (the
+    reference's N radio-module instances, here a dict of RadioChannels
+    over the same frontend IQ — receiver.py's pattern), a spectrum
+    branch, and a per-VFO audio ring. Thread-safe: control via
+    :meth:`control`, reads via :meth:`snapshot`/:meth:`read_fft`/
+    :meth:`read_waterfall_rows`/:meth:`read_audio`.
     """
 
     AUDIO_RING_SECONDS = 4.0
@@ -67,8 +70,10 @@ class ReceiverEngine:
         self.realtime = realtime
         self.center_freq = float(getattr(source, "center_freq", 0.0) or 0.0)
 
-        self.cfg = dict(mode=mode, offset=float(offset), bandwidth=bandwidth,
-                        squelch=squelch, deemphasis=None)
+        self.vfos: dict[str, dict] = {
+            "vfo0": dict(mode=mode, offset=float(offset), bandwidth=bandwidth,
+                         squelch=squelch, deemphasis=None)}
+        self.selected = "vfo0"
         self.volume = 1.0
         self.muted = False
 
@@ -77,13 +82,12 @@ class ReceiverEngine:
             self.fft_size, data_width=waterfall_width,
             waterfall_height=waterfall_height,
             whole_bandwidth=self.samplerate)
-        self.waterfall.select_vfo(self.cfg["offset"],
-                                  self._effective_bandwidth())
+        self.waterfall.select_vfo(self.vfos[self.selected]["offset"],
+                                  self._effective_bandwidth(self.selected))
 
-        ring = int(self.AUDIO_RING_SECONDS * self.audio_rate)
-        self._audio_ring = np.zeros((ring, 2), np.int16)
-        self._audio_written = 0  # monotonically increasing frame counter
+        self._audio: dict[str, dict] = {}
         self._audio_event = threading.Condition(self.lock)
+        self._ensure_audio_ring("vfo0")
 
         self._wf_total = 0  # monotonic count of FFT lines pushed
         self._controls: list[tuple[str, object]] = []
@@ -96,29 +100,40 @@ class ReceiverEngine:
 
     # ---- chain construction ----
 
-    def _effective_bandwidth(self) -> float:
+    def _ensure_audio_ring(self, name: str):
+        ring = int(self.AUDIO_RING_SECONDS * self.audio_rate)
+        self._audio.setdefault(
+            name, {"ring": np.zeros((ring, 2), np.int16), "written": 0})
+
+    def _effective_bandwidth(self, name: str) -> float:
         from ..models.radio import DEMOD_DEFAULTS
-        bw = self.cfg["bandwidth"]
-        if bw:
-            return float(bw)
-        d = DEMOD_DEFAULTS[self.cfg["mode"]]
+        cfg = self.vfos[name]
+        if cfg["bandwidth"]:
+            return float(cfg["bandwidth"])
+        d = DEMOD_DEFAULTS[cfg["mode"]]
         return float(d["bandwidth"] or d["if_rate"] or self.audio_rate)
 
     def _build(self):
-        """(Re)build the jitted frontend+channel step for the current cfg."""
+        """(Re)build the jitted frontend+channels step for current cfgs."""
+        import math
+
         import jax
 
         from ..models.radio import RadioChannel
         from ..signal_path import IQFrontEnd
         from ..utils.iq import device_state
 
-        chan = RadioChannel(self.cfg["mode"], self.samplerate,
-                            offset=self.cfg["offset"],
-                            bandwidth=self.cfg["bandwidth"],
-                            audio_rate=self.audio_rate,
-                            squelch_level=self.cfg["squelch"],
-                            deemphasis=self.cfg["deemphasis"])
-        bm = int(chan.block_multiple)
+        channels = {
+            name: RadioChannel(cfg["mode"], self.samplerate,
+                               offset=cfg["offset"],
+                               bandwidth=cfg["bandwidth"],
+                               audio_rate=self.audio_rate,
+                               squelch_level=cfg["squelch"],
+                               deemphasis=cfg["deemphasis"])
+            for name, cfg in self.vfos.items()}
+        bm = 1
+        for chan in channels.values():
+            bm = math.lcm(bm, int(chan.block_multiple))
         block = max(bm, (self.base_block // bm) * bm)
         frontend = IQFrontEnd(self.samplerate, fft_size=self.fft_size,
                               fft_rate=self.fft_rate, block_size=block)
@@ -126,14 +141,17 @@ class ReceiverEngine:
         def step(state, x_split):
             x = jax.lax.complex(x_split[0], x_split[1])
             fe, (iq, fft) = frontend(state[0], x)
-            cs, audio = chan(state[1], iq)
-            return (fe, cs), (audio, fft)
+            new_cs, audio = {}, {}
+            for name, chan in channels.items():
+                new_cs[name], audio[name] = chan(state[1][name], iq)
+            return (fe, new_cs), (audio, fft)
 
-        self._chan = chan
+        self._channels = channels
         self._block = block
         self._step = jax.jit(step)
         self._state = device_state(
-            lambda: (frontend.init_state(), chan.init_state()))
+            lambda: (frontend.init_state(),
+                     {n: c.init_state() for n, c in channels.items()}))
 
     # ---- control plane ----
 
@@ -168,12 +186,33 @@ class ReceiverEngine:
                 self.source.tune(float(value))
                 self.center_freq = float(value)
             return
+        if action == "select_vfo":
+            with self.lock:
+                if value not in self.vfos:
+                    raise ValueError(f"unknown vfo {value!r}")
+                self.selected = str(value)
+                self.waterfall.select_vfo(
+                    self.vfos[self.selected]["offset"],
+                    self._effective_bandwidth(self.selected))
+            return
         valid = {"set_offset", "set_mode", "set_bandwidth", "set_squelch",
-                 "set_deemphasis"}
+                 "set_deemphasis", "add_vfo", "delete_vfo"}
         if action not in valid:
             raise ValueError(f"unknown action {action!r}")
         if action == "set_mode" and value not in MODES:
             raise ValueError(f"unknown mode {value!r}")
+        if action == "add_vfo":
+            if not isinstance(value, dict) or not value.get("name"):
+                raise ValueError("add_vfo needs {name, mode?, offset?}")
+            if value.get("mode", "nfm") not in MODES:
+                raise ValueError(f"unknown mode {value.get('mode')!r}")
+            if value["name"] in self.vfos:
+                raise ValueError(f"vfo {value['name']!r} already exists")
+        if action == "delete_vfo":
+            if value not in self.vfos:
+                raise ValueError(f"unknown vfo {value!r}")
+            if len(self.vfos) == 1:
+                raise ValueError("cannot delete the last vfo")
         with self.lock:
             self._controls.append((action, value))
 
@@ -183,22 +222,38 @@ class ReceiverEngine:
         if not pending:
             return
         for action, value in pending:
+            cfg = self.vfos[self.selected]
             if action == "set_offset":
                 half = self.samplerate / 2.0
-                self.cfg["offset"] = float(np.clip(value, -half, half))
+                cfg["offset"] = float(np.clip(value, -half, half))
             elif action == "set_mode":
-                self.cfg["mode"] = str(value)
-                self.cfg["bandwidth"] = None  # back to the mode default
+                cfg["mode"] = str(value)
+                cfg["bandwidth"] = None  # back to the mode default
             elif action == "set_bandwidth":
-                self.cfg["bandwidth"] = None if value is None else float(value)
+                cfg["bandwidth"] = None if value is None else float(value)
             elif action == "set_squelch":
-                self.cfg["squelch"] = None if value is None else float(value)
+                cfg["squelch"] = None if value is None else float(value)
             elif action == "set_deemphasis":
-                self.cfg["deemphasis"] = value or None
+                cfg["deemphasis"] = value or None
+            elif action == "add_vfo":
+                name = str(value["name"])
+                self.vfos[name] = dict(
+                    mode=value.get("mode", "nfm"),
+                    offset=float(value.get("offset", 0.0)),
+                    bandwidth=value.get("bandwidth"),
+                    squelch=value.get("squelch"), deemphasis=None)
+                with self.lock:
+                    self._ensure_audio_ring(name)
+                self.selected = name
+            elif action == "delete_vfo":
+                if value in self.vfos and len(self.vfos) > 1:
+                    del self.vfos[value]
+                    if self.selected == value:
+                        self.selected = next(iter(self.vfos))
         self._build()
         with self.lock:
-            self.waterfall.select_vfo(self.cfg["offset"],
-                                      self._effective_bandwidth())
+            self.waterfall.select_vfo(self.vfos[self.selected]["offset"],
+                                      self._effective_bandwidth(self.selected))
 
     # ---- data plane ----
 
@@ -215,23 +270,29 @@ class ReceiverEngine:
                     break
                 self._state, (audio, fft) = self._step(
                     self._state, split_iq(iq))
-                out = audio[0] if isinstance(audio, tuple) else audio
-                out = np.asarray(out, np.float32)
+                outs = {}
+                for name, a in audio.items():
+                    out = np.asarray(a[0] if isinstance(a, tuple) else a,
+                                     np.float32)
+                    if out.ndim == 1:
+                        out = np.stack([out, out], -1)
+                    outs[name] = out
                 fft = np.asarray(fft)
             except Exception as e:  # surface to /api/state instead of dying
                 self.error = f"{type(e).__name__}: {e}"
                 log.error(f"engine: {self.error}")
                 break
-            if out.ndim == 1:
-                out = np.stack([out, out], -1)
             with self.lock:
                 vol = 0.0 if self.muted else self.volume ** 2  # sink.cpp gain
-            pcm = np.clip(out * (vol * 32767.0), -32768, 32767).astype(np.int16)
+            pcms = {name: np.clip(out * (vol * 32767.0), -32768,
+                                  32767).astype(np.int16)
+                    for name, out in outs.items()}
             with self.lock:
                 for line in fft:
                     self.waterfall.push_fft(line)
                 self._wf_total += len(fft)
-                self._write_audio(pcm)
+                for name, pcm in pcms.items():
+                    self._write_audio(name, pcm)
                 self.blocks += 1
                 self.samples += self._block
             if self.realtime:
@@ -242,29 +303,43 @@ class ReceiverEngine:
                 elif lag < -2.0:  # fell behind (compile hitch): resync clock
                     t_start = time.monotonic() - sent
 
-    def _write_audio(self, pcm: np.ndarray):
-        ring = self._audio_ring
+    def _write_audio(self, name: str, pcm: np.ndarray):
+        st = self._audio.get(name)
+        if st is None:  # vfo added this block; ring created in apply
+            return
+        ring = st["ring"]
         n = len(pcm)
         if n >= len(ring):
             pcm = pcm[-len(ring):]
             n = len(pcm)
-        pos = self._audio_written % len(ring)
+        pos = st["written"] % len(ring)
         first = min(n, len(ring) - pos)
         ring[pos:pos + first] = pcm[:first]
         ring[:n - first] = pcm[first:]
-        self._audio_written += n
+        st["written"] += n
         self._audio_event.notify_all()
 
-    def read_audio(self, cursor: int, max_frames: int = 48000,
+    def audio_written(self, name: str) -> int:
+        with self.lock:
+            st = self._audio.get(name)
+            return st["written"] if st else 0
+
+    def read_audio(self, name: str, cursor: int, max_frames: int = 48000,
                    timeout: float = 1.0) -> tuple[np.ndarray, int]:
-        """Read stereo i16 frames from the ring starting at ``cursor``
-        (a frame counter); blocks until data or timeout. Lagging cursors
-        skip forward. Returns (frames, new_cursor)."""
+        """Read stereo i16 frames from ``name``'s ring starting at
+        ``cursor`` (a frame counter); blocks until data or timeout.
+        Lagging cursors skip forward. Returns (frames, new_cursor)."""
         with self._audio_event:
-            if cursor >= self._audio_written:
+            st = self._audio.get(name)
+            if st is None:
+                return np.zeros((0, 2), np.int16), cursor
+            if cursor >= st["written"]:
                 self._audio_event.wait(timeout)
-            ring = self._audio_ring
-            end = self._audio_written
+                st = self._audio.get(name)
+                if st is None:
+                    return np.zeros((0, 2), np.int16), cursor
+            ring = st["ring"]
+            end = st["written"]
             cursor = max(cursor, end - len(ring))
             n = min(end - cursor, max_frames)
             if n <= 0:
@@ -294,15 +369,20 @@ class ReceiverEngine:
     def snapshot(self) -> dict:
         with self.lock:
             wf = self.waterfall
+            sel = self.vfos[self.selected]
             return {
                 "samplerate": self.samplerate,
                 "center_freq": self.center_freq,
                 "audio_rate": self.audio_rate,
-                "mode": self.cfg["mode"],
-                "offset": self.cfg["offset"],
-                "bandwidth": self._effective_bandwidth(),
-                "squelch": self.cfg["squelch"],
-                "deemphasis": self.cfg["deemphasis"],
+                "selected": self.selected,
+                "vfos": {name: {**cfg,
+                                "bandwidth": self._effective_bandwidth(name)}
+                         for name, cfg in self.vfos.items()},
+                "mode": sel["mode"],
+                "offset": sel["offset"],
+                "bandwidth": self._effective_bandwidth(self.selected),
+                "squelch": sel["squelch"],
+                "deemphasis": sel["deemphasis"],
                 "volume": self.volume,
                 "muted": self.muted,
                 "modes": MODES,
@@ -379,7 +459,7 @@ class _Handler(BaseHTTPRequestHandler):
             elif url.path == "/api/waterfall":
                 self._get_waterfall(url)
             elif url.path == "/audio.wav":
-                self._stream_audio()
+                self._stream_audio(url)
             else:
                 self._json({"error": "not found"}, 404)
         except (BrokenPipeError, ConnectionResetError):
@@ -402,8 +482,13 @@ class _Handler(BaseHTTPRequestHandler):
                     headers=[("X-Line", counter), ("X-Rows", len(buf)),
                              ("X-Width", self.engine.waterfall.data_width)])
 
-    def _stream_audio(self):
+    def _stream_audio(self, url):
         eng = self.engine
+        qs = parse_qs(url.query)
+        vfo = qs.get("vfo", [eng.selected])[0]
+        if vfo not in eng.vfos:
+            self._json({"error": f"unknown vfo {vfo!r}"}, 404)
+            return
         rate = int(eng.audio_rate)
         # progressive WAV: RIFF/data sizes set to the 4 GB max so players
         # treat it as a live stream (the wavreader in the reference
@@ -418,9 +503,9 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(hdr)
-        cursor = max(0, eng._audio_written - rate // 4)
+        cursor = max(0, eng.audio_written(vfo) - rate // 4)
         while not eng._stop.is_set():
-            frames, cursor = eng.read_audio(cursor)
+            frames, cursor = eng.read_audio(vfo, cursor)
             if len(frames):
                 self.wfile.write(frames.astype("<i2").tobytes())
                 self.wfile.flush()
@@ -475,6 +560,8 @@ button{cursor:pointer} canvas{display:block;width:100%}
 </style></head><body>
 <div id="bar">
  <span id="freq">--</span>
+ <label>vfo <select id="vfo"></select></label>
+ <button id="addvfo">+</button><button id="delvfo">&#x2212;</button>
  <label>mode <select id="mode"></select></label>
  <label>BW <input id="bw" type="number" style="width:90px" step="1000"></label>
  <label>squelch <input id="sq" type="range" min="-100" max="0" value="-100" style="width:110px"></label>
@@ -493,6 +580,10 @@ let st=null, wfLine=0, wfImg=null;
 async function getState(){st=await (await fetch('/api/state')).json();
  $('freq').textContent=((st.center_freq+st.offset)/1e6).toFixed(6)+' MHz';
  if(!$('mode').options.length) st.modes.forEach(m=>{const o=document.createElement('option');o.value=o.textContent=m;$('mode').append(o);});
+ const names=Object.keys(st.vfos),vsel=$('vfo');
+ if([...vsel.options].map(o=>o.value).join()!==names.join()){
+  vsel.innerHTML='';names.forEach(n=>{const o=document.createElement('option');o.value=o.textContent=n;vsel.append(o);});}
+ if(document.activeElement!==vsel) vsel.value=st.selected;
  if(document.activeElement!==$('mode')) $('mode').value=st.mode;
  if(document.activeElement!==$('bw')) $('bw').value=st.bandwidth;
  $('meter').textContent='SNR '+st.vfo_snr.toFixed(1)+' dB  L '+st.vfo_level.toFixed(1)+' dBFS';
@@ -511,9 +602,12 @@ async function drawSpec(){if(!st)return;
  g.strokeStyle='#223';g.beginPath();for(let d=Math.ceil(lo/10)*10;d<hi;d+=10){g.moveTo(0,y(d));g.lineTo(W,y(d));}g.stroke();
  g.strokeStyle='#4af';g.beginPath();for(let i=0;i<a.length;i++){const x=i/a.length*W;i?g.lineTo(x,y(a[i])):g.moveTo(x,y(a[i]));}g.stroke();
  if(h){g.strokeStyle='#fa4';g.beginPath();for(let i=1;i<h.length;i++){const x=i/h.length*W;i>1?g.lineTo(x,y(h[i])):g.moveTo(x,y(h[i]));}g.stroke();}
- const vx=((st.offset-st.view_offset)/st.view_bandwidth+0.5)*W,vw=st.bandwidth/st.view_bandwidth*W;
- g.fillStyle='rgba(120,200,255,0.15)';g.fillRect(vx-vw/2,0,vw,H);
- g.strokeStyle='#7ec8ff';g.beginPath();g.moveTo(vx,0);g.lineTo(vx,H);g.stroke();}
+ for(const [name,cfg] of Object.entries(st.vfos)){
+  const vx=((cfg.offset-st.view_offset)/st.view_bandwidth+0.5)*W,vw=cfg.bandwidth/st.view_bandwidth*W;
+  const sel=name===st.selected;
+  g.fillStyle=sel?'rgba(120,200,255,0.15)':'rgba(160,160,160,0.10)';g.fillRect(vx-vw/2,0,vw,H);
+  g.strokeStyle=sel?'#7ec8ff':'#888';g.beginPath();g.moveTo(vx,0);g.lineTo(vx,H);g.stroke();
+  g.fillStyle=sel?'#7ec8ff':'#888';g.fillText(name,vx+3,12);}}
 async function drawWf(){if(!st)return;
  const r=await fetch('/api/waterfall?since='+wfLine),buf=await r.arrayBuffer();
  const rows=+r.headers.get('X-Rows'),width=+r.headers.get('X-Width');wfLine=+r.headers.get('X-Line');
@@ -530,6 +624,10 @@ spec.addEventListener('click',e=>{if(!st)return;
 wf.addEventListener('click',e=>{if(!st)return;
  const f=st.view_offset+(e.offsetX/wf.clientWidth-0.5)*st.view_bandwidth;
  ctl('set_offset',Math.round(f));});
+$('vfo').addEventListener('change',()=>ctl('select_vfo',$('vfo').value));
+$('addvfo').addEventListener('click',()=>{const n=prompt('new VFO name','vfo'+Object.keys(st.vfos).length);
+ if(n)ctl('add_vfo',{name:n,mode:st.mode,offset:st.view_offset});});
+$('delvfo').addEventListener('click',()=>ctl('delete_vfo',st.selected));
 $('mode').addEventListener('change',()=>ctl('set_mode',$('mode').value));
 $('bw').addEventListener('change',()=>ctl('set_bandwidth',+$('bw').value));
 $('sq').addEventListener('change',()=>ctl('set_squelch',+$('sq').value<=-100?null:+$('sq').value));
@@ -538,7 +636,7 @@ $('auto').addEventListener('click',()=>ctl('auto_range'));
 $('hold').addEventListener('change',()=>ctl('set_fft_hold',$('hold').checked));
 let player=null;
 $('audio').addEventListener('click',()=>{if(player){player.pause();player=null;$('audio').textContent='\\u25b6 audio';}
- else{player=new Audio('/audio.wav?t='+Date.now());player.play();$('audio').textContent='\\u23f8 audio';}});
+ else{player=new Audio('/audio.wav?vfo='+st.selected+'&t='+Date.now());player.play();$('audio').textContent='\\u23f8 audio';}});
 getState();setInterval(getState,1000);
 setInterval(drawSpec,100);setInterval(drawWf,100);
 </script></body></html>

@@ -174,3 +174,62 @@ def test_engine_fft_hold_trace(server):
     both = np.frombuffer(body, "<f4")
     assert len(both) == 2 * eng.waterfall.data_width
     _post(base + "/api/control", {"action": "set_fft_hold", "value": False})
+
+
+def test_multi_vfo_add_select_delete(server):
+    _, eng, base = server
+    code, resp = _post(base + "/api/control",
+                       {"action": "add_vfo",
+                        "value": {"name": "vfoB", "mode": "am",
+                                  "offset": -150000.0}})
+    assert code == 200, resp
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)
+    st = _get(base + "/api/state")
+    assert set(st["vfos"]) == {"vfo0", "vfoB"}
+    assert st["selected"] == "vfoB"  # add selects the new VFO
+    assert st["vfos"]["vfoB"]["mode"] == "am"
+    assert st["vfos"]["vfoB"]["offset"] == -150000.0
+
+    # both audio streams serve independently
+    for name in ("vfo0", "vfoB"):
+        with urllib.request.urlopen(base + f"/audio.wav?vfo={name}",
+                                    timeout=30) as r:
+            hdr = r.read(44)
+            assert hdr[:4] == b"RIFF"
+            assert len(r.read(4 * 480)) == 4 * 480
+
+    # set_offset applies to the SELECTED vfo
+    _post(base + "/api/control", {"action": "set_offset", "value": 50000.0})
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)
+    st = _get(base + "/api/state")
+    assert st["vfos"]["vfoB"]["offset"] == 50000.0
+    assert st["vfos"]["vfo0"]["offset"] != 50000.0
+
+    # select back, delete vfoB
+    code, _ = _post(base + "/api/control",
+                    {"action": "select_vfo", "value": "vfo0"})
+    assert code == 200
+    code, _ = _post(base + "/api/control",
+                    {"action": "delete_vfo", "value": "vfoB"})
+    assert code == 200
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)
+    st = _get(base + "/api/state")
+    assert set(st["vfos"]) == {"vfo0"} and st["selected"] == "vfo0"
+    assert st["error"] is None
+
+    # guard rails
+    code, resp = _post(base + "/api/control",
+                       {"action": "delete_vfo", "value": "vfo0"})
+    assert code == 400 and "last" in resp["error"]
+    code, resp = _post(base + "/api/control",
+                       {"action": "add_vfo", "value": {"name": "vfo0"}})
+    assert code == 400
+    code, resp = _post(base + "/api/control",
+                       {"action": "select_vfo", "value": "nope"})
+    assert code == 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(base + "/audio.wav?vfo=nope", timeout=30)
+    assert exc.value.code == 404

@@ -82,18 +82,14 @@ def _smem_scan_call(make_body, state: jax.Array, streams, n: int,
         in_refs = refs[:nstreams]
         out_ref, fin_ref = refs[nstreams:nstreams + 2]
         inner = make_body(in_refs, out_ref)
-        valid = valid_ref[0]
 
         # padded tail samples must NOT advance the carry — they are not
-        # real input; stores into the (discarded) padded output region
-        # are harmless
-        def body(t, carry):
-            new = inner(t, carry)
-            return tuple(jnp.where(t < valid, nv, ov)
-                         for nv, ov in zip(new, carry))
-
+        # real input. The loop simply stops at `valid` (a dynamic bound
+        # lowers fine in Mosaic), which also drops a per-sample mask
+        # (2 compares + 2 selects) from the recurrence hot loop; the
+        # padded output region is never read back.
         carry = jax.lax.fori_loop(
-            0, c, body, tuple(state_ref[j] for j in range(k)))
+            0, valid_ref[0], inner, tuple(state_ref[j] for j in range(k)))
         for j in range(k):
             fin_ref[j] = carry[j]
 
@@ -166,15 +162,11 @@ def _lane_scan_call(make_body, state: jax.Array, streams, n: int,
         in_refs = [_RowRef(r) for r in refs[:nstreams]]
         out_ref, fin_ref = refs[nstreams:nstreams + 2]
         inner = make_body(in_refs, _RowRef(out_ref))
-        valid = valid_ref[0]
 
-        def body(t, carry):
-            new = inner(t, carry)
-            return tuple(jnp.where(t < valid, nv, ov)
-                         for nv, ov in zip(new, carry))
-
+        # dynamic trip count instead of a per-sample padding mask (see
+        # _smem_scan_call)
         carry = jax.lax.fori_loop(
-            0, c, body,
+            0, valid_ref[0], inner,
             tuple(state_ref[pl.ds(j, 1), :] for j in range(k)))
         for j in range(k):
             fin_ref[pl.ds(j, 1), :] = carry[j]
@@ -250,8 +242,11 @@ def pll_phases_pallas(in_phases: jax.Array, phase0, freq0, alpha, beta,
             d = jnp.where(d <= -FL_PI, d + two_pi, d)
             freq = jnp.clip(freq + beta * d, min_freq, max_freq)
             phase = phase + freq + alpha * d
+            # mod lands in [-pi, pi], so the scan form's `> pi` select can
+            # never fire (dead op dropped from the hot loop); the `<= -pi`
+            # one CAN (mod returning exactly 0 maps -pi -> +pi like the
+            # reference's normalizePhase while-loop) and stays
             phase = jnp.mod(phase + FL_PI, two_pi) - FL_PI
-            phase = jnp.where(phase > FL_PI, phase - two_pi, phase)
             phase = jnp.where(phase <= -FL_PI, phase + two_pi, phase)
             return (phase, freq)
 
@@ -356,8 +351,8 @@ def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
             err = jnp.clip(err, -one, one)
             freq = jnp.clip(freq + beta * err, min_freq, max_freq)
             phase = phase + freq + alpha * err
+            # see pll_phases_pallas: only the `<= -pi` select can fire
             phase = jnp.mod(phase + FL_PI, two_pi) - FL_PI
-            phase = jnp.where(phase > FL_PI, phase - two_pi, phase)
             phase = jnp.where(phase <= -FL_PI, phase + two_pi, phase)
             return (phase, freq)
 

@@ -621,6 +621,16 @@ async function drawWf(){if(!st)return;
 spec.addEventListener('click',e=>{if(!st)return;
  const f=st.view_offset+(e.offsetX/spec.clientWidth-0.5)*st.view_bandwidth;
  ctl('set_offset',Math.round(f));});
+function zoom(e,el){if(!st)return;e.preventDefault();
+ const cf=st.view_offset+(e.offsetX/el.clientWidth-0.5)*st.view_bandwidth;
+ const bw=Math.min(st.samplerate,Math.max(st.samplerate/256,
+  st.view_bandwidth*(e.deltaY>0?1.5:1/1.5)));
+ let off=cf-(e.offsetX/el.clientWidth-0.5)*bw;
+ off=Math.max(-(st.samplerate-bw)/2,Math.min((st.samplerate-bw)/2,off));
+ ctl('set_view',[off,bw]);}
+spec.addEventListener('wheel',e=>zoom(e,spec),{passive:false});
+wf.addEventListener('wheel',e=>zoom(e,wf),{passive:false});
+spec.addEventListener('dblclick',()=>ctl('set_view',[0,st.samplerate]));
 wf.addEventListener('click',e=>{if(!st)return;
  const f=st.view_offset+(e.offsetX/wf.clientWidth-0.5)*st.view_bandwidth;
  ctl('set_offset',Math.round(f));});

@@ -233,3 +233,23 @@ def test_multi_vfo_add_select_delete(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(base + "/audio.wav?vfo=nope", timeout=30)
     assert exc.value.code == 404
+
+
+def test_set_view_zoom(server):
+    _, eng, base = server
+    code, _ = _post(base + "/api/control",
+                    {"action": "set_view", "value": [100000.0, 250000.0]})
+    assert code == 200
+    st = _get(base + "/api/state")
+    assert st["view_offset"] == 100000.0
+    assert st["view_bandwidth"] == 250000.0
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)
+    # the zoomed FFT line still shows the +100 kHz tone, now view-centered
+    body, _ = _get(base + "/api/fft", binary=True)
+    line = np.frombuffer(body, "<f4")
+    peak = np.argmax(line)
+    f_peak = 100000.0 + (peak / len(line) - 0.5) * 250000.0
+    assert abs(f_peak - 100000.0) < 2000.0
+    _post(base + "/api/control",
+          {"action": "set_view", "value": [0.0, 1000000.0]})

@@ -185,22 +185,33 @@ def cmd_run(argv):
     src_len = getattr(src, "num_frames", None)
     mon = StreamMonitor(samplerate=fs)
     ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
-    with ctx:
-        while args.blocks == 0 or nblocks < args.blocks:
-            if src_len is not None and offset + block > src_len:
-                break
-            iq = src.read(block)
-            with mon.block(block), annotate(f"run:{args.mode}"):
-                state, audio = step(state, jnp.asarray(split_iq(iq)),
-                                    offset=offset + block)
-                out = audio[0] if isinstance(audio, tuple) else audio
-                out = np.asarray(out)
-            sink.write(out)
-            offset += block
-            total += block
-            nblocks += 1
-            if args.blocks == 0 and src_len is None and nblocks >= 100:
-                break
+    # 3-stage host pipeline (utils/pipeline.py): a reader thread keeps
+    # blocks ahead of the device, and each block's outputs are forced to
+    # host one iteration late — IO | device | sink write overlap (the
+    # SampleFrameBuffer + async-dispatch role).
+    from .utils.pipeline import DeferredWriter, Prefetcher
+
+    pre = Prefetcher(src, block)
+    writer = DeferredWriter(sink.write)
+    try:
+        with ctx:
+            while args.blocks == 0 or nblocks < args.blocks:
+                if src_len is not None and offset + block > src_len:
+                    break
+                iq = pre.read(block)
+                with mon.block(block), annotate(f"run:{args.mode}"):
+                    state, audio = step(state, jnp.asarray(split_iq(iq)),
+                                        offset=offset + block)
+                    out = audio[0] if isinstance(audio, tuple) else audio
+                    writer.push(out)
+                offset += block
+                total += block
+                nblocks += 1
+                if args.blocks == 0 and src_len is None and nblocks >= 100:
+                    break
+        writer.flush()
+    finally:
+        pre.close()
     sink.close()
     log.info(str(mon))
     if args.trace:

@@ -114,7 +114,12 @@ class ReceiverEngine:
         return float(d["bandwidth"] or d["if_rate"] or self.audio_rate)
 
     def _build(self):
-        """(Re)build the jitted frontend+channels step for current cfgs."""
+        """(Re)build the jitted frontend+channels step for current cfgs.
+
+        Channels whose config did NOT change keep their carried DSP state
+        (PLL/AGC/filter tails) — retuning one VFO must not pop or re-lock
+        the others (the reference restarts only the touched module under
+        tempStop/tempStart)."""
         import math
 
         import jax
@@ -123,6 +128,8 @@ class ReceiverEngine:
         from ..signal_path import IQFrontEnd
         from ..utils.iq import device_state
 
+        with self.lock:
+            cfgs = {name: dict(cfg) for name, cfg in self.vfos.items()}
         channels = {
             name: RadioChannel(cfg["mode"], self.samplerate,
                                offset=cfg["offset"],
@@ -130,7 +137,7 @@ class ReceiverEngine:
                                audio_rate=self.audio_rate,
                                squelch_level=cfg["squelch"],
                                deemphasis=cfg["deemphasis"])
-            for name, cfg in self.vfos.items()}
+            for name, cfg in cfgs.items()}
         bm = 1
         for chan in channels.values():
             bm = math.lcm(bm, int(chan.block_multiple))
@@ -146,12 +153,24 @@ class ReceiverEngine:
                 new_cs[name], audio[name] = chan(state[1][name], iq)
             return (fe, new_cs), (audio, fft)
 
+        old_cfgs = getattr(self, "_built_cfgs", {})
+        old_state = getattr(self, "_state", None)
+        same_block = getattr(self, "_block", None) == block
+        chan_states = {}
+        for name, chan in channels.items():
+            if (old_state is not None and name in old_cfgs
+                    and old_cfgs[name] == cfgs[name]):
+                chan_states[name] = old_state[1][name]
+            else:
+                chan_states[name] = device_state(chan.init_state)
+        fe_state = (old_state[0] if old_state is not None and same_block
+                    else device_state(frontend.init_state))
+
         self._channels = channels
         self._block = block
         self._step = jax.jit(step)
-        self._state = device_state(
-            lambda: (frontend.init_state(),
-                     {n: c.init_state() for n, c in channels.items()}))
+        self._state = (fe_state, chan_states)
+        self._built_cfgs = cfgs
 
     # ---- control plane ----
 
@@ -186,21 +205,19 @@ class ReceiverEngine:
                 self.source.tune(float(value))
                 self.center_freq = float(value)
             return
-        if action == "select_vfo":
-            with self.lock:
-                if value not in self.vfos:
-                    raise ValueError(f"unknown vfo {value!r}")
-                self.selected = str(value)
-                self.waterfall.select_vfo(
-                    self.vfos[self.selected]["offset"],
-                    self._effective_bandwidth(self.selected))
-            return
         valid = {"set_offset", "set_mode", "set_bandwidth", "set_squelch",
-                 "set_deemphasis", "add_vfo", "delete_vfo"}
+                 "set_deemphasis", "add_vfo", "delete_vfo", "select_vfo"}
         if action not in valid:
             raise ValueError(f"unknown action {action!r}")
         if action == "set_mode" and value not in MODES:
             raise ValueError(f"unknown mode {value!r}")
+        if action in ("set_offset", "set_bandwidth", "set_squelch"):
+            if value is not None:
+                value = float(value)  # reject garbage NOW, not in the
+                #                       engine thread (a bad value there
+                #                       would kill every VFO's stream)
+            if value is None and action == "set_offset":
+                raise ValueError("set_offset needs a number")
         if action == "add_vfo":
             if not isinstance(value, dict) or not value.get("name"):
                 raise ValueError("add_vfo needs {name, mode?, offset?}")
@@ -208,52 +225,65 @@ class ReceiverEngine:
                 raise ValueError(f"unknown mode {value.get('mode')!r}")
             if value["name"] in self.vfos:
                 raise ValueError(f"vfo {value['name']!r} already exists")
-        if action == "delete_vfo":
+            value = dict(value, offset=float(value.get("offset", 0.0)),
+                         bandwidth=(None if value.get("bandwidth") is None
+                                    else float(value["bandwidth"])),
+                         squelch=(None if value.get("squelch") is None
+                                  else float(value["squelch"])))
+        if action in ("delete_vfo", "select_vfo"):
             if value not in self.vfos:
                 raise ValueError(f"unknown vfo {value!r}")
-            if len(self.vfos) == 1:
+            if action == "delete_vfo" and len(self.vfos) == 1:
                 raise ValueError("cannot delete the last vfo")
+        # select_vfo queues with the rest so 'tune then switch vfo' applies
+        # in request order at the next block boundary
         with self.lock:
             self._controls.append((action, value))
 
     def _apply_controls(self):
         with self.lock:
             pending, self._controls = self._controls, []
-        if not pending:
-            return
-        for action, value in pending:
-            cfg = self.vfos[self.selected]
-            if action == "set_offset":
-                half = self.samplerate / 2.0
-                cfg["offset"] = float(np.clip(value, -half, half))
-            elif action == "set_mode":
-                cfg["mode"] = str(value)
-                cfg["bandwidth"] = None  # back to the mode default
-            elif action == "set_bandwidth":
-                cfg["bandwidth"] = None if value is None else float(value)
-            elif action == "set_squelch":
-                cfg["squelch"] = None if value is None else float(value)
-            elif action == "set_deemphasis":
-                cfg["deemphasis"] = value or None
-            elif action == "add_vfo":
-                name = str(value["name"])
-                self.vfos[name] = dict(
-                    mode=value.get("mode", "nfm"),
-                    offset=float(value.get("offset", 0.0)),
-                    bandwidth=value.get("bandwidth"),
-                    squelch=value.get("squelch"), deemphasis=None)
-                with self.lock:
+            if not pending:
+                return
+            # mutations happen UNDER the lock (HTTP threads read
+            # vfos/selected in snapshot()); only _build stays outside —
+            # it re-traces jit, and by then the dicts are consistent and
+            # this engine thread is the sole writer.
+            for action, value in pending:
+                cfg = self.vfos[self.selected]
+                if action == "set_offset":
+                    half = self.samplerate / 2.0
+                    cfg["offset"] = float(np.clip(value, -half, half))
+                elif action == "set_mode":
+                    cfg["mode"] = str(value)
+                    cfg["bandwidth"] = None  # back to the mode default
+                elif action == "set_bandwidth":
+                    cfg["bandwidth"] = value
+                elif action == "set_squelch":
+                    cfg["squelch"] = value
+                elif action == "set_deemphasis":
+                    cfg["deemphasis"] = value or None
+                elif action == "select_vfo":
+                    if value in self.vfos:
+                        self.selected = str(value)
+                elif action == "add_vfo":
+                    name = str(value["name"])
+                    self.vfos[name] = dict(
+                        mode=value.get("mode", "nfm"),
+                        offset=value["offset"], bandwidth=value["bandwidth"],
+                        squelch=value["squelch"], deemphasis=None)
                     self._ensure_audio_ring(name)
-                self.selected = name
-            elif action == "delete_vfo":
-                if value in self.vfos and len(self.vfos) > 1:
-                    del self.vfos[value]
-                    if self.selected == value:
-                        self.selected = next(iter(self.vfos))
-        self._build()
-        with self.lock:
+                    self.selected = name
+                elif action == "delete_vfo":
+                    if value in self.vfos and len(self.vfos) > 1:
+                        del self.vfos[value]
+                        self._audio.pop(value, None)  # free the ring;
+                        # open /audio.wav streams for it end (see handler)
+                        if self.selected == value:
+                            self.selected = next(iter(self.vfos))
             self.waterfall.select_vfo(self.vfos[self.selected]["offset"],
                                       self._effective_bandwidth(self.selected))
+        self._build()
 
     # ---- data plane ----
 
@@ -504,11 +534,12 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(hdr)
         cursor = max(0, eng.audio_written(vfo) - rate // 4)
-        while not eng._stop.is_set():
+        while not eng._stop.is_set() and vfo in eng.vfos:
             frames, cursor = eng.read_audio(vfo, cursor)
             if len(frames):
                 self.wfile.write(frames.astype("<i2").tobytes())
                 self.wfile.flush()
+        # vfo deleted (its ring is freed) or engine stopped: end the stream
 
     def do_POST(self):
         url = urlparse(self.path)
@@ -630,7 +661,9 @@ function zoom(e,el){if(!st)return;e.preventDefault();
  ctl('set_view',[off,bw]);}
 spec.addEventListener('wheel',e=>zoom(e,spec),{passive:false});
 wf.addEventListener('wheel',e=>zoom(e,wf),{passive:false});
-spec.addEventListener('dblclick',()=>ctl('set_view',[0,st.samplerate]));
+const unzoom=()=>{if(st)ctl('set_view',[0,st.samplerate]);};
+spec.addEventListener('dblclick',unzoom);
+wf.addEventListener('dblclick',unzoom);
 wf.addEventListener('click',e=>{if(!st)return;
  const f=st.view_offset+(e.offsetX/wf.clientWidth-0.5)*st.view_bandwidth;
  ctl('set_offset',Math.round(f));});

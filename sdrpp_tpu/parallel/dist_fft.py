@@ -28,6 +28,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["dist_fft", "dist_power_spectrum"]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _twiddles(n: int, r: int, c: int) -> np.ndarray:
+    """W_N^{j*k1} as [r, c] (k1 row, j column); cached — an eager caller
+    must not pay an O(n) host exp + full upload per spectrum line."""
+    return np.exp(-2j * np.pi
+                  * (np.arange(r)[:, None] * np.arange(c)[None, :]) / n) \
+        .astype(np.complex64)
+
+
 def _splits(n: int, d: int) -> tuple[int, int]:
     """Pick r*c = n with d | r and d | c, r as close to sqrt(n) as fits."""
     r = 1 << (int(np.log2(n)) // 2)
@@ -51,10 +63,7 @@ def dist_fft(x: jax.Array, mesh: Mesh, axis_name: str = "fft",
     n = x.shape[-1]
     d = mesh.shape[axis_name]
     r, c = _splits(n, d)
-    # twiddle factors W_N^{j*k1}: [r, c] (k1 row, j column)
-    tw = np.exp(-2j * np.pi
-                * (np.arange(r)[:, None] * np.arange(c)[None, :]) / n) \
-        .astype(np.complex64)
+    tw = _twiddles(n, r, c)
 
     from jax import shard_map
 

@@ -41,35 +41,47 @@ class Prefetcher:
         self.block = int(block)
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._stop = threading.Event()
+        self._exc: Exception | None = None
+        self._eof = False
         self._thread = threading.Thread(target=self._fill, daemon=True,
                                         name="prefetcher")
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _fill(self):
         try:
             while not self._stop.is_set():
                 chunk = self.source.read(self.block)
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(chunk, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
+                if not self._put(chunk):
+                    return
                 if len(chunk) < self.block:
-                    break  # EOF propagated; consumer sees the short block
-        except Exception as e:  # pragma: no cover - source failure
+                    self._eof = True
+                    return
+        except Exception as e:
+            # sticky: read() re-raises even if the queue was full at the
+            # moment of failure (a dropped error would leave the consumer
+            # blocked forever)
             self._exc = e
-            try:
-                self._q.put_nowait(e)
-            except queue.Full:
-                pass
 
     def read(self, n: int) -> np.ndarray:
         assert n == self.block, "Prefetcher is fixed-block"
-        item = self._q.get()
-        if isinstance(item, Exception):
-            raise item
-        return item
+        while True:
+            try:
+                return self._q.get(timeout=0.2)
+            except queue.Empty:
+                if self._exc is not None:
+                    raise self._exc
+                if self._eof or not self._thread.is_alive():
+                    # like FileSource(loop=False) past EOF: silence
+                    return np.zeros(self.block, np.complex64)
 
     def close(self):
         self._stop.set()

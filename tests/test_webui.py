@@ -10,6 +10,7 @@ import struct
 import time
 import urllib.request
 
+import jax
 import numpy as np
 import pytest
 
@@ -253,3 +254,42 @@ def test_set_view_zoom(server):
     assert abs(f_peak - 100000.0) < 2000.0
     _post(base + "/api/control",
           {"action": "set_view", "value": [0.0, 1000000.0]})
+
+
+def test_control_type_validation_and_state_preservation(server):
+    _, eng, base = server
+    # garbage numeric fields are rejected at request time (a bad value in
+    # the engine thread would kill every VFO's stream)
+    code, _ = _post(base + "/api/control",
+                    {"action": "set_offset", "value": "oops"})
+    assert code == 400
+    code, _ = _post(base + "/api/control",
+                    {"action": "add_vfo",
+                     "value": {"name": "bad", "offset": "oops"}})
+    assert code == 400
+    st = _get(base + "/api/state")
+    assert "bad" not in st["vfos"] and st["error"] is None
+
+    # retuning a NEW vfo must not reset vfo0's carried DSP state
+    code, _ = _post(base + "/api/control",
+                    {"action": "add_vfo",
+                     "value": {"name": "vfoC", "mode": "nfm",
+                               "offset": -100000.0}})
+    assert code == 200
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)
+    ref_state = eng._state[1]["vfo0"]
+    _post(base + "/api/control", {"action": "set_offset", "value": -90000.0})
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0 + 1)
+    # vfo0's state object advanced with the stream but was NOT re-inited
+    # (its built cfg is unchanged, so the rebuild carried it over);
+    # compare against a fresh init: carried phases differ from zeros
+    leaf = jax.tree_util.tree_leaves(eng._state[1]["vfo0"])
+    fresh = jax.tree_util.tree_leaves(eng._channels["vfo0"].init_state())
+    same_as_fresh = all(
+        a.shape != b.shape or np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaf, fresh))
+    assert not same_as_fresh, "vfo0 state was reset by another vfo's retune"
+    _post(base + "/api/control", {"action": "select_vfo", "value": "vfo0"})
+    _post(base + "/api/control", {"action": "delete_vfo", "value": "vfoC"})

@@ -72,7 +72,8 @@ class ReceiverEngine:
 
         self.vfos: dict[str, dict] = {
             "vfo0": dict(mode=mode, offset=float(offset), bandwidth=bandwidth,
-                         squelch=squelch, deemphasis=None)}
+                         squelch=squelch, deemphasis=None, rds=False)}
+        self._rds: dict[str, object] = {}  # name -> RDSReceiver
         self.selected = "vfo0"
         self.volume = 1.0
         self.muted = False
@@ -136,7 +137,8 @@ class ReceiverEngine:
                                bandwidth=cfg["bandwidth"],
                                audio_rate=self.audio_rate,
                                squelch_level=cfg["squelch"],
-                               deemphasis=cfg["deemphasis"])
+                               deemphasis=cfg["deemphasis"],
+                               rds=bool(cfg.get("rds")))
             for name, cfg in cfgs.items()}
         bm = 1
         for chan in channels.values():
@@ -165,6 +167,20 @@ class ReceiverEngine:
                 chan_states[name] = device_state(chan.init_state)
         fe_state = (old_state[0] if old_state is not None and same_block
                     else device_state(frontend.init_state))
+
+        # RDS group decoders: keep a locked receiver when its channel's
+        # cfg is unchanged; (re)create when rds turns on / cfg changes
+        from ..models.rds_chain import RDSReceiver
+
+        new_rds = {}
+        for name, chan in channels.items():
+            if not chan.rds:
+                continue
+            if name in self._rds and old_cfgs.get(name) == cfgs[name]:
+                new_rds[name] = self._rds[name]
+            else:
+                new_rds[name] = RDSReceiver()
+        self._rds = new_rds
 
         self._channels = channels
         self._block = block
@@ -206,7 +222,8 @@ class ReceiverEngine:
                 self.center_freq = float(value)
             return
         valid = {"set_offset", "set_mode", "set_bandwidth", "set_squelch",
-                 "set_deemphasis", "add_vfo", "delete_vfo", "select_vfo"}
+                 "set_deemphasis", "set_rds", "add_vfo", "delete_vfo",
+                 "select_vfo"}
         if action not in valid:
             raise ValueError(f"unknown action {action!r}")
         if action == "set_mode" and value not in MODES:
@@ -263,6 +280,9 @@ class ReceiverEngine:
                     cfg["squelch"] = value
                 elif action == "set_deemphasis":
                     cfg["deemphasis"] = value or None
+                elif action == "set_rds":
+                    cfg["rds"] = bool(value)  # RadioChannel ignores it
+                    #                           outside wfm mode
                 elif action == "select_vfo":
                     if value in self.vfos:
                         self.selected = str(value)
@@ -271,7 +291,8 @@ class ReceiverEngine:
                     self.vfos[name] = dict(
                         mode=value.get("mode", "nfm"),
                         offset=value["offset"], bandwidth=value["bandwidth"],
-                        squelch=value["squelch"], deemphasis=None)
+                        squelch=value["squelch"], deemphasis=None,
+                        rds=bool(value.get("rds")))
                     self._ensure_audio_ring(name)
                     self.selected = name
                 elif action == "delete_vfo":
@@ -307,6 +328,10 @@ class ReceiverEngine:
                     if out.ndim == 1:
                         out = np.stack([out, out], -1)
                     outs[name] = out
+                    if isinstance(a, tuple) and name in self._rds:
+                        # a[1] = 5 kHz RDS baseband (device array; the
+                        # receiver's jit consumes it device-to-device)
+                        self._rds[name].process(a[1])
                 fft = np.asarray(fft)
             except Exception as e:  # surface to /api/state instead of dying
                 self.error = f"{type(e).__name__}: {e}"
@@ -396,6 +421,20 @@ class ReceiverEngine:
                        max_rows)
             return wf.framebuffer[:rows].copy(), self._wf_total
 
+    def _rds_snapshot(self, name: str):
+        rx = self._rds.get(name)
+        if rx is None:
+            return None
+        d = rx.decoder
+        return {
+            "pi": f"{d.pi_code:04X}" if d.pi_code is not None else None,
+            "ps_name": d.ps_name.strip() or None,
+            "radio_text": d.radio_text_str.strip() or None,
+            "callsign": d.callsign,
+            "program_type": d.program_type,
+            "groups": d.groups_decoded,
+        }
+
     def snapshot(self) -> dict:
         with self.lock:
             wf = self.waterfall
@@ -406,7 +445,8 @@ class ReceiverEngine:
                 "audio_rate": self.audio_rate,
                 "selected": self.selected,
                 "vfos": {name: {**cfg,
-                                "bandwidth": self._effective_bandwidth(name)}
+                                "bandwidth": self._effective_bandwidth(name),
+                                "rds_data": self._rds_snapshot(name)}
                          for name, cfg in self.vfos.items()},
                 "mode": sel["mode"],
                 "offset": sel["offset"],
@@ -600,7 +640,9 @@ button{cursor:pointer} canvas{display:block;width:100%}
  <button id="audio">&#9654; audio</button>
  <button id="auto">auto range</button>
  <label><input id="hold" type="checkbox"> hold</label>
+ <label><input id="rds" type="checkbox"> RDS</label>
  <span id="meter">SNR -- dB</span>
+ <span id="rdsinfo" style="color:#fc6"></span>
  <span id="err" style="color:#f66"></span>
 </div>
 <canvas id="spec" height="220"></canvas>
@@ -618,6 +660,11 @@ async function getState(){st=await (await fetch('/api/state')).json();
  if(document.activeElement!==$('mode')) $('mode').value=st.mode;
  if(document.activeElement!==$('bw')) $('bw').value=st.bandwidth;
  $('meter').textContent='SNR '+st.vfo_snr.toFixed(1)+' dB  L '+st.vfo_level.toFixed(1)+' dBFS';
+ const sel=st.vfos[st.selected]||{};
+ if(document.activeElement!==$('rds')) $('rds').checked=!!sel.rds;
+ const rd=sel.rds_data;
+ $('rdsinfo').textContent=rd?('RDS '+[rd.pi?('PI '+rd.pi):null,rd.ps_name,
+  rd.callsign,rd.radio_text].filter(Boolean).join(' | ')):'';
  $('err').textContent=st.error||'';}
 async function ctl(action,value){await fetch('/api/control',{method:'POST',body:JSON.stringify({action,value})});getState();}
 const spec=$('spec'),wf=$('wf');
@@ -677,6 +724,7 @@ $('sq').addEventListener('change',()=>ctl('set_squelch',+$('sq').value<=-100?nul
 $('vol').addEventListener('input',()=>ctl('set_volume',+$('vol').value/100));
 $('auto').addEventListener('click',()=>ctl('auto_range'));
 $('hold').addEventListener('change',()=>ctl('set_fft_hold',$('hold').checked));
+$('rds').addEventListener('change',()=>ctl('set_rds',$('rds').checked));
 let player=null;
 $('audio').addEventListener('click',()=>{if(player){player.pause();player=null;$('audio').textContent='\\u25b6 audio';}
  else{player=new Audio('/audio.wav?vfo='+st.selected+'&t='+Date.now());player.play();$('audio').textContent='\\u23f8 audio';}});

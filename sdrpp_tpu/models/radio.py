@@ -109,12 +109,19 @@ class RadioChannel(Block):
         # IF block by the AF resampler's multiple. Search the smallest
         # multiple of the VFO requirement that satisfies both.
         m = self.vfo.block_multiple
+        if_bm = 1  # constraints on the IF-block length
         if self.af_resamp is not None:
-            af_bm = self.af_resamp.block_multiple
+            if_bm = self.af_resamp.block_multiple
+        if self.rds and hasattr(self.demod, "rds_resamp"):
+            # the RDS tap resamples the SAME IF block (240k -> 5k inside
+            # WFMDemod) — its multiple constrains if_n too
+            import math
+            if_bm = math.lcm(if_bm, int(self.demod.rds_resamp.block_multiple))
+        if if_bm > 1:
             cand = m
             for _ in range(100000):
                 if_n = self.vfo.out_count(cand)
-                if if_n % af_bm == 0:
+                if if_n % if_bm == 0:
                     break
                 cand += m
             else:

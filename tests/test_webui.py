@@ -293,3 +293,66 @@ def test_control_type_validation_and_state_preservation(server):
     assert not same_as_fresh, "vfo0 state was reset by another vfo's retune"
     _post(base + "/api/control", {"action": "select_vfo", "value": "vfo0"})
     _post(base + "/api/control", {"action": "delete_vfo", "value": "vfoC"})
+
+
+def test_rds_through_engine(tmp_path):
+    """SURVEY §3.5's deepest chain served by the web engine: WFM MPX with
+    a 57 kHz RDS subcarrier -> wfm VFO with rds=True -> PI/PS fields in
+    the state snapshot (what the reference shows in its radio menu)."""
+    from sdrpp_tpu.decoders import rds as rds_mod
+    from sdrpp_tpu.io.sources import FileSource
+    from sdrpp_tpu.io.wav import write_wav
+    from sdrpp_tpu.models.rds_chain import RDS_BAUD
+
+    fs, dev = 240000.0, 75000.0
+    bits = []
+    name = b"JAXRADIO"
+    for rep in range(16):
+        for seg in range(4):
+            block_b = (0 << 12) | (9 << 5) | seg
+            blocks = [0x2ABC, block_b, 0xE0E0,
+                      (name[seg * 2] << 8) | name[seg * 2 + 1]]
+            bits += rds_mod.encode_group(blocks)
+    bits = np.array(bits, np.uint8)
+    diff = np.zeros(len(bits), np.uint8)
+    last = 0
+    for i, b in enumerate(bits):
+        last ^= b
+        diff[i] = last
+    half = np.where(diff[:, None] == 1, [1.0, -1.0], [-1.0, 1.0]).reshape(-1)
+    sps = fs / (2 * RDS_BAUD)
+    n = int(len(half) * sps)
+    k = np.floor(np.arange(n) / sps).astype(int)
+    rds_bb = half[np.clip(k, 0, len(half) - 1)]
+    rds_bb = np.convolve(rds_bb, np.ones(64) / 64.0, mode="same")
+    t = np.arange(n) / fs
+    l = 0.4 * np.sin(2 * np.pi * 1000.0 * t)
+    mpx = (0.41 * l + 0.1 * np.sin(2 * np.pi * 19000.0 * t)
+           + 0.06 * rds_bb * np.cos(2 * np.pi * 57000.0 * t))
+    iq = np.exp(1j * np.cumsum(2 * np.pi * dev * mpx / fs))
+    p = tmp_path / "rds_240000Hz.wav"
+    write_wav(p, int(fs), np.stack([iq.real * 0.8, iq.imag * 0.8], -1)
+              .astype(np.float32), "f32")
+
+    src = FileSource(p, loop=True)
+    eng = ReceiverEngine(src, mode="wfm", offset=0.0, realtime=False,
+                         base_block=131072, fft_size=4096)
+    eng.control("set_rds", True)
+    eng.start()
+    try:
+        def locked():
+            if eng.error:
+                raise AssertionError(eng.error)
+            rx = eng._rds.get("vfo0")
+            return rx is not None and rx.decoder.pi_code == 0x2ABC \
+                and rx.decoder.ps_name == "JAXRADIO"
+        assert _wait(locked, timeout=120.0), (
+            eng.error, {k: v.decoder.groups_decoded
+                        for k, v in eng._rds.items()})
+    finally:
+        eng.stop()
+    snap = eng.snapshot()
+    rd = snap["vfos"]["vfo0"]["rds_data"]
+    assert rd["pi"] == "2ABC" and rd["ps_name"] == "JAXRADIO"
+    # a full PS name needs all 4 segment groups
+    assert rd["groups"] >= 4

@@ -275,13 +275,21 @@ def cmd_bank(argv):
     from .utils.iq import device_state
     state = device_state(bank.init_state)
     mon = StreamMonitor(samplerate=fs)
-    for _ in range(args.blocks):
-        iq = src.read(block)
-        with mon.block(block):
-            state, audio = step(state, jnp.asarray(split_iq(iq)))
-            audio = np.asarray(audio)
-        for i, sink in enumerate(sinks):
-            sink.write(audio[i])
+    # same 3-stage pipeline as cmd_run: prefetch IO, defer readback
+    from .utils.pipeline import DeferredWriter, Prefetcher
+
+    pre = Prefetcher(src, block)
+    writer = DeferredWriter(
+        lambda a: [sink.write(a[i]) for i, sink in enumerate(sinks)])
+    try:
+        for _ in range(args.blocks):
+            iq = pre.read(block)
+            with mon.block(block):
+                state, audio = step(state, jnp.asarray(split_iq(iq)))
+                writer.push(audio)
+        writer.flush()
+    finally:
+        pre.close()
     for sink in sinks:
         sink.close()
     log.info(f"{mon} (x{len(offsets)} channels = "

@@ -420,6 +420,9 @@ def cmd_ui(argv):
     p.add_argument("--block-size", type=int, default=262144)
     p.add_argument("--no-realtime", action="store_true",
                    help="process as fast as possible (file benchmarking)")
+    p.add_argument("--config", default=None, metavar="JSON",
+                   help="persist the UI session (VFOs/volume/range) to this "
+                        "file and restore it on start (ConfigManager role)")
     args = p.parse_args(argv)
 
     from .misc.webui import ReceiverEngine, serve_ui
@@ -432,7 +435,7 @@ def cmd_ui(argv):
                             audio_rate=args.audio_rate, fft_size=args.fft_size,
                             fft_rate=args.fft_rate, base_block=args.block_size,
                             realtime=not args.no_realtime)
-    serve_ui(engine, args.addr, args.port)
+    serve_ui(engine, args.addr, args.port, config_path=args.config)
 
 
 def cmd_scan(argv):

@@ -603,8 +603,60 @@ class WebUIServer(ThreadingHTTPServer):
         super().__init__((addr, port), _Handler)
 
 
+def load_session(engine: ReceiverEngine, config_path) -> None:
+    """Restore a saved UI session (VFOs/volume/range) into the engine —
+    the reference's per-module ConfigManager persistence role."""
+    from ..utils.config import ConfigManager
+
+    cm = ConfigManager(config_path, auto_save=False)
+    vfos = cm.get("vfos")
+    if isinstance(vfos, dict) and vfos:
+        clean = {}
+        for name, cfg in vfos.items():
+            if cfg.get("mode") in MODES:
+                clean[name] = dict(
+                    mode=cfg["mode"], offset=float(cfg.get("offset", 0.0)),
+                    bandwidth=cfg.get("bandwidth"),
+                    squelch=cfg.get("squelch"),
+                    deemphasis=cfg.get("deemphasis"),
+                    rds=bool(cfg.get("rds")))
+        if clean:
+            with engine.lock:
+                engine.vfos = clean
+                engine.selected = (cm.get("selected")
+                                   if cm.get("selected") in clean
+                                   else next(iter(clean)))
+                for name in clean:
+                    engine._ensure_audio_ring(name)
+                engine.volume = float(cm.get("volume", default=1.0))
+                wf = engine.waterfall
+                wf.waterfall_min = float(cm.get("waterfall_min",
+                                                default=wf.waterfall_min))
+                wf.waterfall_max = float(cm.get("waterfall_max",
+                                                default=wf.waterfall_max))
+            engine._build()
+
+
+def save_session(engine: ReceiverEngine, config_path) -> None:
+    from ..utils.config import ConfigManager
+
+    cm = ConfigManager(config_path, auto_save=False)
+    snap = engine.snapshot()
+    with engine.lock:
+        vfos = {name: {k: v for k, v in cfg.items()}
+                for name, cfg in engine.vfos.items()}
+    cm.set("vfos", vfos)
+    cm.set("selected", snap["selected"])
+    cm.set("volume", snap["volume"])
+    cm.set("waterfall_min", snap["waterfall_min"])
+    cm.set("waterfall_max", snap["waterfall_max"])
+    cm.save()
+
+
 def serve_ui(engine: ReceiverEngine, addr="127.0.0.1", port=8080,
-             forever=True):
+             forever=True, config_path=None):
+    if config_path is not None:
+        load_session(engine, config_path)
     srv = WebUIServer(engine, addr, port)
     engine.start()
     log.info(f"web panadapter on http://{addr}:{srv.server_address[1]}/")
@@ -616,6 +668,9 @@ def serve_ui(engine: ReceiverEngine, addr="127.0.0.1", port=8080,
         finally:
             engine.stop()
             srv.server_close()
+            if config_path is not None:
+                save_session(engine, config_path)
+                log.info(f"session saved -> {config_path}")
     return srv
 
 

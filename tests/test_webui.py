@@ -356,3 +356,30 @@ def test_rds_through_engine(tmp_path):
     assert rd["pi"] == "2ABC" and rd["ps_name"] == "JAXRADIO"
     # a full PS name needs all 4 segment groups
     assert rd["groups"] >= 4
+
+
+def test_session_persistence_roundtrip(tmp_path):
+    from sdrpp_tpu.misc.webui import load_session, save_session
+
+    cfg = tmp_path / "ui.json"
+    eng = _engine()
+    eng.control("add_vfo", {"name": "music", "mode": "wfm",
+                            "offset": 250000.0})
+    eng.control("set_rds", True)
+    eng.control("set_volume", 0.7)
+    eng.start()
+    assert _wait(lambda: eng.blocks >= 1 and "music" in eng.vfos), eng.error
+    eng.stop()
+    save_session(eng, cfg)
+
+    eng2 = _engine()
+    load_session(eng2, cfg)
+    assert set(eng2.vfos) == {"vfo0", "music"}
+    assert eng2.selected == "music"
+    assert eng2.vfos["music"]["mode"] == "wfm"
+    assert eng2.vfos["music"]["rds"] is True
+    assert eng2.volume == 0.7
+    eng2.start()
+    assert _wait(lambda: eng2.blocks >= 1), eng2.error
+    eng2.stop()
+    assert eng2.error is None

@@ -766,6 +766,14 @@ wf.addEventListener('wheel',e=>zoom(e,wf),{passive:false});
 const unzoom=()=>{if(st)ctl('set_view',[0,st.samplerate]);};
 spec.addEventListener('dblclick',unzoom);
 wf.addEventListener('dblclick',unzoom);
+$('freq').style.cursor='pointer';
+$('freq').title='click to type a frequency';
+$('freq').addEventListener('click',()=>{if(!st)return;
+ const v=prompt('frequency (MHz)',((st.center_freq+st.offset)/1e6).toFixed(6));
+ if(v===null)return;const f=parseFloat(v)*1e6;if(!isFinite(f))return;
+ const off=f-st.center_freq;
+ if(Math.abs(off)<=st.samplerate/2) ctl('set_offset',Math.round(off));
+ else ctl('tune',Math.round(f-st.offset));});
 wf.addEventListener('click',e=>{if(!st)return;
  const f=st.view_offset+(e.offsetX/wf.clientWidth-0.5)*st.view_bandwidth;
  ctl('set_offset',Math.round(f));});

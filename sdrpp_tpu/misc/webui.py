@@ -39,7 +39,7 @@ __all__ = ["ReceiverEngine", "WebUIServer", "serve_ui"]
 
 log = get_logger("webui")
 
-MODES = ["wfm", "nfm", "am", "usb", "lsb", "dsb", "cw"]
+MODES = ["wfm", "nfm", "am", "usb", "lsb", "dsb", "cw", "raw"]
 
 
 class ReceiverEngine:
@@ -228,6 +228,9 @@ class ReceiverEngine:
             raise ValueError(f"unknown action {action!r}")
         if action == "set_mode" and value not in MODES:
             raise ValueError(f"unknown mode {value!r}")
+        if action == "set_deemphasis" and value not in (None, "", "22us",
+                                                        "50us", "75us"):
+            raise ValueError(f"unknown deemphasis {value!r}")
         if action in ("set_offset", "set_bandwidth", "set_squelch"):
             if value is not None:
                 value = float(value)  # reject garbage NOW, not in the
@@ -690,6 +693,8 @@ button{cursor:pointer} canvas{display:block;width:100%}
  <button id="addvfo">+</button><button id="delvfo">&#x2212;</button>
  <label>mode <select id="mode"></select></label>
  <label>BW <input id="bw" type="number" style="width:90px" step="1000"></label>
+ <label>de-emph <select id="deemph"><option value="">off</option>
+  <option>22us</option><option>50us</option><option>75us</option></select></label>
  <label>squelch <input id="sq" type="range" min="-100" max="0" value="-100" style="width:110px"></label>
  <label>vol <input id="vol" type="range" min="0" max="100" value="100" style="width:90px"></label>
  <button id="audio">&#9654; audio</button>
@@ -714,6 +719,7 @@ async function getState(){st=await (await fetch('/api/state')).json();
  if(document.activeElement!==vsel) vsel.value=st.selected;
  if(document.activeElement!==$('mode')) $('mode').value=st.mode;
  if(document.activeElement!==$('bw')) $('bw').value=st.bandwidth;
+ if(document.activeElement!==$('deemph')) $('deemph').value=st.deemphasis||'';
  $('meter').textContent='SNR '+st.vfo_snr.toFixed(1)+' dB  L '+st.vfo_level.toFixed(1)+' dBFS';
  const sel=st.vfos[st.selected]||{};
  if(document.activeElement!==$('rds')) $('rds').checked=!!sel.rds;
@@ -788,6 +794,7 @@ $('vol').addEventListener('input',()=>ctl('set_volume',+$('vol').value/100));
 $('auto').addEventListener('click',()=>ctl('auto_range'));
 $('hold').addEventListener('change',()=>ctl('set_fft_hold',$('hold').checked));
 $('rds').addEventListener('change',()=>ctl('set_rds',$('rds').checked));
+$('deemph').addEventListener('change',()=>ctl('set_deemphasis',$('deemph').value||null));
 let player=null;
 $('audio').addEventListener('click',()=>{if(player){player.pause();player=null;$('audio').textContent='\\u25b6 audio';}
  else{player=new Audio('/audio.wav?vfo='+st.selected+'&t='+Date.now());player.play();$('audio').textContent='\\u23f8 audio';}});

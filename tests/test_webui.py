@@ -383,3 +383,32 @@ def test_session_persistence_roundtrip(tmp_path):
     assert _wait(lambda: eng2.blocks >= 1), eng2.error
     eng2.stop()
     assert eng2.error is None
+
+
+def test_raw_mode_and_deemphasis_controls(server):
+    _, eng, base = server
+    code, _ = _post(base + "/api/control",
+                    {"action": "set_deemphasis", "value": "bogus"})
+    assert code == 400
+    for value, want in (("50us", "50us"), (None, None)):
+        code, _ = _post(base + "/api/control",
+                        {"action": "set_deemphasis", "value": value})
+        assert code == 200
+        blocks0 = eng.blocks
+        assert _wait(lambda: eng.blocks > blocks0)
+        st = _get(base + "/api/state")
+        assert st["deemphasis"] == want and st["error"] is None
+
+    code, _ = _post(base + "/api/control",
+                    {"action": "set_mode", "value": "raw"})
+    assert code == 200
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)
+    st = _get(base + "/api/state")
+    assert st["mode"] == "raw" and st["error"] is None
+    # raw = IQ as stereo; the audio stream still serves
+    with urllib.request.urlopen(base + "/audio.wav", timeout=30) as r:
+        assert r.read(44)[:4] == b"RIFF"
+        assert len(r.read(4 * 480)) == 4 * 480
+    _post(base + "/api/control", {"action": "set_mode", "value": "nfm"})
+    _post(base + "/api/control", {"action": "set_offset", "value": 100000.0})

@@ -378,4 +378,24 @@ void conv_f64_iq(const double* in, float* iq, size_t frames, int channels) {
     });
 }
 
+// ---------------------------------------------------------------------------
+// Viterbi traceback (libcorrect convolutional decode's history walk,
+// core/libcorrect/src/convolutional/decode.c). The add-compare-select
+// lattice runs on the TPU (ops/fec_pallas.py); the traceback is a strictly
+// sequential pointer chase over the [T, S] decision matrix — microseconds
+// in C, milliseconds as a device scan. decisions: row-major u8, nonzero =
+// "took predecessor p1 = (s>>1)+S/2". Emits T bits (bit t = state&1 when
+// walking step t), newest-last. Returns the final (oldest) state.
+// ---------------------------------------------------------------------------
+
+uint32_t viterbi_traceback(const uint8_t* decisions, size_t T, size_t S,
+                           uint32_t state, uint8_t* bits_out) {
+    for (size_t t = T; t-- > 0;) {
+        bits_out[t] = (uint8_t)(state & 1);
+        const uint8_t took1 = decisions[t * S + state];
+        state = (state >> 1) + (took1 ? (uint32_t)(S >> 1) : 0u);
+    }
+    return state;
+}
+
 }  // extern "C"

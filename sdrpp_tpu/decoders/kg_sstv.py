@@ -89,7 +89,7 @@ class KGSSTVDeframer:
             # of stale bytes.
             conv = np.concatenate(
                 [conv, np.full(ENCODED_BITS - FRAME_SYMBOLS, 128.0)])
-            bits = np.asarray(_CONV.decode_soft(conv.astype(np.float32),
+            bits = np.asarray(_CONV.decode_soft_np(conv.astype(np.float32),
                                                 flush_bits=6))
             frames.append(np.packbits(bits[:56]).tobytes())
             i += nsync + FRAME_SYMBOLS

@@ -159,7 +159,7 @@ def decode_lsf_frame(lsf_bits: np.ndarray) -> M17LSF:
     (M17LSFDecoder, m17dsp.h:311-341)."""
     soft = _depuncture_soft(np.asarray(lsf_bits, np.uint8), PUNCT_P1,
                             ENCODED_LSF_SIZE)
-    decoded = np.asarray(_CONV.decode_soft(soft, flush_bits=4))
+    decoded = np.asarray(_CONV.decode_soft_np(soft, flush_bits=4))
     raw = np.packbits(decoded[:240]).tobytes()
     return decode_lsf(raw)
 
@@ -169,7 +169,7 @@ def decode_stream_payload(payload_bits: np.ndarray) -> bytes:
     ([fn u16 BE][16 codec2 bytes]; M17PayloadFEC, m17dsp.h:389-417)."""
     soft = _depuncture_soft(np.asarray(payload_bits, np.uint8), PUNCT_P2,
                             ENCODED_PAYLOAD_SIZE)
-    decoded = np.asarray(_CONV.decode_soft(soft, flush_bits=4))
+    decoded = np.asarray(_CONV.decode_soft_np(soft, flush_bits=4))
     return np.packbits(decoded[:144]).tobytes()
 
 

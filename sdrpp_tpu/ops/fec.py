@@ -26,6 +26,7 @@ Encoders run in NumPy (host-side framing); decoders are jittable JAX.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -127,19 +128,48 @@ class ConvCode:
         """
         if flush_bits is None:
             flush_bits = self.order + 1
+        total = soft_bits.shape[0] // self.rate
+        decisions = self.acs_decisions(soft_bits)
+        S = self.num_states
+
+        def back(state, dec_t):
+            took1 = dec_t[state] != 0
+            pred = jnp.where(took1, (state >> 1) + S // 2, state >> 1).astype(jnp.int32)
+            bit = (state & 1).astype(jnp.uint8)
+            return pred, bit
+
+        _, bits_rev = jax.lax.scan(back, jnp.zeros((), jnp.int32), decisions,
+                                   reverse=True)
+        return bits_rev[: total - flush_bits]
+
+    def acs_decisions(self, soft_bits: jax.Array) -> jax.Array:
+        """Add-compare-select lattice: [T*rate] soft bits -> [T, S]
+        decisions (nonzero = took predecessor (n>>1)+S/2)."""
         R, S = self.rate, self.num_states
         total = soft_bits.shape[0] // R
         soft = soft_bits.astype(jnp.float32).reshape(total, R)
         expected = jnp.asarray(self.reg_outputs.astype(np.float32) * 255.0)
 
-        # Gather-free butterfly: with n = next state, its predecessors are
-        # p0 = n>>1 and p1 = (n>>1)+S/2 and the corresponding registers are
-        # r0 = n and r1 = n + S. So metrics[p0] is each element of the
-        # first half repeated twice, metrics[p1] likewise for the second
-        # half, and bm[r0]/bm[r1] are plain halves of the [2S] branch
-        # metric vector — pure slices/repeats, no gathers on the hot path.
+        if (os.environ.get("SDRPP_TPU_VITERBI", "auto") != "scan"
+                and not getattr(self, "_disable_pallas", False)):
+            # ACS as ONE Pallas kernel on TPU (VMEM-resident metrics,
+            # fori_loop over trellis steps) — the lax.scan form below pays
+            # XLA loop overhead per step and lands far slower on the chip.
+            try:
+                from .fec_pallas import _pallas_available, viterbi_acs_pallas
+                if _pallas_available():
+                    return viterbi_acs_pallas(soft, expected, S)
+            except Exception:  # pragma: no cover - fallback on any failure
+                pass
+        # Gather-free butterfly: with n = next state, its predecessors
+        # are p0 = n>>1 and p1 = (n>>1)+S/2 and the corresponding
+        # registers are r0 = n and r1 = n + S. So metrics[p0] is each
+        # element of the first half repeated twice, metrics[p1]
+        # likewise for the second half, and bm[r0]/bm[r1] are plain
+        # halves of the [2S] branch metric vector — pure slices/
+        # repeats, no gathers on the hot path.
         def step(metrics, soft_t):
-            bm = jnp.sum(jnp.abs(soft_t[None, :] - expected), axis=1)  # [2S]
+            bm = jnp.sum(jnp.abs(soft_t[None, :] - expected), axis=1)
             m0 = jnp.repeat(metrics[: S // 2], 2)
             m1 = jnp.repeat(metrics[S // 2:], 2)
             cand0 = m0 + bm[:S]
@@ -151,19 +181,52 @@ class ConvCode:
 
         init = jnp.full((S,), 1e9, jnp.float32).at[0].set(0.0)
         _, decisions = jax.lax.scan(step, init, soft)  # [T, S] bool
+        return decisions
 
-        def back(state, dec_t):
-            took1 = dec_t[state]
-            pred = jnp.where(took1, (state >> 1) + S // 2, state >> 1).astype(jnp.int32)
-            bit = (state & 1).astype(jnp.uint8)
-            return pred, bit
+    def decode_soft_np(self, soft_bits: np.ndarray,
+                       flush_bits: int | None = None) -> np.ndarray:
+        """Host-facing decode: jitted ACS on device (cached per shape) +
+        the native C traceback (utils/native viterbi_traceback) — eager
+        per-op dispatch and the sequential backtrace scan both cost
+        milliseconds per call on a remote TPU; this path costs one jit
+        launch + a decisions readback."""
+        if flush_bits is None:
+            flush_bits = self.order + 1
+        total = len(soft_bits) // self.rate
+        try:
+            from ..utils import native
+            lib = native.load()
+        except Exception:
+            lib = None
+        if lib is None:
+            fn = self._jit_decode(flush_bits)
+            return np.asarray(fn(jnp.asarray(soft_bits)))
+        try:
+            dec = np.asarray(self._jit_acs(jnp.asarray(soft_bits)))
+        except Exception:
+            # Pallas kernel failed to COMPILE on this backend (surfaces at
+            # execute time, not trace time): pin the scan form and retry.
+            self._disable_pallas = True
+            self.__dict__.pop("_jit_acs", None)
+            self._jit_decode.cache_clear()
+            dec = np.asarray(self._jit_acs(jnp.asarray(soft_bits)))
+        dec = np.ascontiguousarray(dec.astype(np.uint8))
+        bits = np.empty(total, np.uint8)
+        lib.viterbi_traceback(dec.ctypes.data, total, self.num_states, 0,
+                              bits.ctypes.data)
+        return bits[: total - flush_bits]
 
-        _, bits_rev = jax.lax.scan(back, jnp.zeros((), jnp.int32), decisions,
-                                   reverse=True)
-        return bits_rev[: total - flush_bits]
+    @functools.cached_property
+    def _jit_acs(self):
+        return jax.jit(self.acs_decisions)
+
+    @functools.lru_cache(maxsize=None)  # noqa: B019 - per-instance cache
+    def _jit_decode(self, flush_bits: int):
+        return jax.jit(functools.partial(self.decode_soft,
+                                         flush_bits=flush_bits))
 
     def decode_soft_bytes(self, soft_bits) -> np.ndarray:
-        bits = np.asarray(self.decode_soft(jnp.asarray(soft_bits)))
+        bits = self.decode_soft_np(np.asarray(soft_bits))
         n = (len(bits) // 8) * 8
         return _bytes_from_bits(bits[:n])
 

@@ -30,7 +30,8 @@ __all__ = ["viterbi_acs_pallas", "decode_soft_tpu"]
 def _pallas_available() -> bool:
     try:
         import jax.experimental.pallas  # noqa: F401
-        return jax.default_backend() in ("tpu",)
+        # the axon tunnel registers the chip as backend "axon"
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
 
@@ -48,56 +49,88 @@ def viterbi_acs_pallas(soft: jax.Array, expected: jax.Array, num_states: int,
     LANES = 128
     pad_s = max(LANES, S)
 
-    def kernel(soft_ref, exp_ref, dec_ref, metrics):
+    # Lane interleave m0[n] = m[n>>1] as a constant 0/1 matmul: Mosaic on
+    # real hardware rejects the (1,S/2,2)->(1,S) shape-cast trick
+    # ("infer-vector-layout: unsupported shape cast"), while a [1,S]x[S,S]
+    # dot lowers cleanly onto the MXU.
+    e0 = np.zeros((S, S), np.float32)
+    e1 = np.zeros((S, S), np.float32)
+    for n in range(S):
+        e0[n >> 1, n] = 1.0                  # predecessor p0 = n>>1
+        e1[(n >> 1) + S // 2, n] = 1.0       # predecessor p1 = p0 + S/2
+
+    # Mosaic cannot store a single row at an arbitrary dynamic index (the
+    # sublane index must be provably tile-aligned: "cannot statically
+    # prove that index in dimension 0 is a multiple of 8"). The trellis
+    # therefore runs in GROUPs of 32 steps (one int8 tile of sublanes):
+    # an unrolled inner loop accumulates decision rows in a scratch tile,
+    # then ONE aligned [32, pad_s] store per group.
+    GROUP = 32
+    from jax.experimental import pallas as pl
+
+    t_pad = -(-T // GROUP) * GROUP
+    if t_pad != T:
+        soft = jnp.concatenate(
+            [soft, jnp.zeros((t_pad - T, R), soft.dtype)], axis=0)
+
+    def kernel(soft_ref, exp_ref, e0_ref, e1_ref, dec_ref, metrics, dtile):
         # init metrics: state 0 = 0, others large
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, pad_s), 1)
         metrics[:] = jnp.where(lane == 0, 0.0, 1e9)
 
-        def body(t, _):
-            s_t = soft_ref[t, :]  # [R]
-            # branch metrics for all 2S registers (register index order)
-            acc = jnp.zeros((1, 2 * S), jnp.float32)
+        def group(g, _):
+            base = g * GROUP
+            # branch metrics for the whole group in one vector op:
+            # bm32[i, r] = sum_j |soft[base+i, j] - expected[r, j]|
+            sg = soft_ref[pl.ds(base, GROUP), :]  # [GROUP, R]
+            bm32 = jnp.zeros((GROUP, 2 * S), jnp.float32)
             for j in range(R):
-                acc = acc + jnp.abs(s_t[j] - exp_ref[:, j].reshape(1, -1))
-            m = metrics[:]  # [1, pad_s]; states live in [:, :S]
-
-            def rep2(v):  # element-wise repeat x2 along lanes: [1,S/2]->[1,S]
-                return jnp.broadcast_to(v.reshape(1, S // 2, 1),
-                                        (1, S // 2, 2)).reshape(1, S)
-
-            m0 = rep2(m[:, : S // 2])     # metrics[n>>1]
-            m1 = rep2(m[:, S // 2: S])    # metrics[(n>>1)+S/2]
-            cand0 = m0 + acc[:, :S]
-            cand1 = m1 + acc[:, S: 2 * S]
-            take1 = cand1 < cand0
-            new_m = jnp.where(take1, cand1, cand0)
-            new_m = new_m - jnp.min(new_m)
-            metrics[:] = jnp.concatenate(
-                [new_m, jnp.full((1, pad_s - S), 1e9, jnp.float32)], axis=1) \
-                if pad_s > S else new_m
-            dec = jnp.concatenate(
-                [take1.astype(jnp.int8),
-                 jnp.zeros((1, pad_s - S), jnp.int8)], axis=1) \
-                if pad_s > S else take1.astype(jnp.int8)
-            dec_ref[t, :] = dec.reshape(pad_s)
+                bm32 = bm32 + jnp.abs(sg[:, j].reshape(GROUP, 1)
+                                      - exp_ref[:, j].reshape(1, 2 * S))
+            for i in range(GROUP):
+                acc = bm32[i].reshape(1, 2 * S)
+                m = metrics[:]  # [1, pad_s]; states live in [:, :S]
+                ms = m[:, :S]
+                m0 = jnp.dot(ms, e0_ref[:],
+                             preferred_element_type=jnp.float32)
+                m1 = jnp.dot(ms, e1_ref[:],
+                             preferred_element_type=jnp.float32)
+                cand0 = m0 + acc[:, :S]
+                cand1 = m1 + acc[:, S: 2 * S]
+                take1 = cand1 < cand0
+                new_m = jnp.where(take1, cand1, cand0)
+                new_m = new_m - jnp.min(new_m)
+                metrics[:] = jnp.concatenate(
+                    [new_m, jnp.full((1, pad_s - S), 1e9, jnp.float32)],
+                    axis=1) if pad_s > S else new_m
+                dec = jnp.concatenate(
+                    [take1.astype(jnp.int8),
+                     jnp.zeros((1, pad_s - S), jnp.int8)], axis=1) \
+                    if pad_s > S else take1.astype(jnp.int8)
+                dtile[i, :] = dec.reshape(pad_s)
+            dec_ref[pl.ds(base, GROUP), :] = dtile[:]
             return 0
 
-        jax.lax.fori_loop(0, T, body, 0)
+        jax.lax.fori_loop(0, t_pad // GROUP, group, 0)
 
     exp_padded = expected[: 2 * S, :].astype(jnp.float32)
 
     dec = jax.experimental.pallas.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T, pad_s), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((t_pad, pad_s), jnp.int8),
         in_specs=[
+            jax.experimental.pallas.BlockSpec(memory_space=pltpu.VMEM),
+            jax.experimental.pallas.BlockSpec(memory_space=pltpu.VMEM),
             jax.experimental.pallas.BlockSpec(memory_space=pltpu.VMEM),
             jax.experimental.pallas.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=jax.experimental.pallas.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, pad_s), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, pad_s), jnp.float32),
+                        pltpu.VMEM((GROUP, pad_s), jnp.int8)],
         interpret=interpret,
-    )(soft.astype(jnp.float32), exp_padded)
-    return dec[:, :S]
+    )(soft.astype(jnp.float32), exp_padded, jnp.asarray(e0),
+      jnp.asarray(e1))
+    return dec[:T, :S]
 
 
 def decode_soft_tpu(code: ConvCode, soft_bits: jax.Array,

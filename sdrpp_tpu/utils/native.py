@@ -67,6 +67,10 @@ def load():
                "conv_pcm32_iq", "conv_f32_iq", "conv_f64_iq"):
         getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_size_t, ctypes.c_int]
+    lib.viterbi_traceback.restype = ctypes.c_uint32
+    lib.viterbi_traceback.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                      ctypes.c_size_t, ctypes.c_uint32,
+                                      ctypes.c_void_p]
     _lib = lib
     return _lib
 

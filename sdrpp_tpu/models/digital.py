@@ -124,16 +124,9 @@ class MeteorCostas(Block):
                 "freq": jnp.zeros((), jnp.float32) + self.init_freq}
 
     def _error(self, v):
-        if not self.broken:
-            step_re = jnp.where(v.real > 0, 1.0, -1.0)
-            step_im = jnp.where(v.imag > 0, 1.0, -1.0)
-            err = step_re * v.imag - step_im * v.real
-        else:
-            ph = jnp.arctan2(v.imag, v.real)
-            dps = jnp.stack([_normalize_phase(ph - np.float32(p)) for p in self.PHASES])
-            lowest = dps[jnp.argmin(jnp.abs(dps))]
-            err = lowest * jnp.abs(v)
-        return jnp.clip(err, -1.0, 1.0)
+        step_re = jnp.where(v.real > 0, 1.0, -1.0)
+        step_im = jnp.where(v.imag > 0, 1.0, -1.0)
+        return jnp.clip(step_re * v.imag - step_im * v.real, -1.0, 1.0)
 
     def __call__(self, state, x):
         from ..ops.scans_pallas import _pallas_on_tpu, costas_phases_pallas
@@ -143,6 +136,35 @@ class MeteorCostas(Block):
                 x.real, x.imag, state["phase"], state["freq"],
                 "meteor" if self.broken else 4, self.alpha, self.beta,
                 self.min_freq, self.max_freq)
+            lo = jax.lax.complex(jnp.cos(-out_phases), jnp.sin(-out_phases))
+            return {"phase": ph, "freq": fr}, x * lo
+
+        if self.broken:
+            # Phase-domain meteor error, the same formulation as the
+            # Pallas kernel (which cannot lower atan2): rotation preserves
+            # magnitude and shifts angle, so atan2/|v| vectorize OUTSIDE
+            # the scan and the body works on normalize(in_phase - phase).
+            # vs the reference's rotate-then-atan2 this differs by float
+            # rounding only (oracle parity is tolerance-based).
+            in_ph = jnp.arctan2(x.imag, x.real)
+            mags = jnp.sqrt(x.real * x.real + x.imag * x.imag)
+
+            def mstep(carry, inp):
+                phase, freq = carry
+                ph_t, mag_t = inp
+                d0 = _normalize_phase(ph_t - phase)
+                dps = jnp.stack([_normalize_phase(d0 - np.float32(p))
+                                 for p in self.PHASES])
+                best = dps[jnp.argmin(jnp.abs(dps))]
+                err = jnp.clip(best * mag_t, -1.0, 1.0)
+                out_phase = phase
+                phase, freq = _pcl_advance(phase, freq, err, self.alpha,
+                                           self.beta, self.min_freq,
+                                           self.max_freq)
+                return (phase, freq), out_phase
+
+            (ph, fr), out_phases = jax.lax.scan(
+                mstep, (state["phase"], state["freq"]), (in_ph, mags))
             lo = jax.lax.complex(jnp.cos(-out_phases), jnp.sin(-out_phases))
             return {"phase": ph, "freq": fr}, x * lo
 

@@ -298,11 +298,16 @@ def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
     modulation error (models/digital.MeteorCostas._error: distance to the
     nearest of 4 fixed constellation phases, scaled by amplitude).
 
-    The error needs the ROTATED sample (reference costas.h:25-38), so the
-    complex input rides along as re/im planes and the kernel rotates each
-    sample by -phase scalar-wise; the output phases let the (vectorized)
-    caller apply the same rotation to produce the mixed-down samples.
-    Bit-equivalence with ops/scans.Costas is pinned by tests.
+    The 2/4/8 errors need the ROTATED sample (reference costas.h:25-38),
+    so the complex input rides along as re/im planes and the kernel
+    rotates each sample by -phase scalar-wise; the output phases let the
+    (vectorized) caller apply the same rotation to produce the mixed-down
+    samples. The METEOR error is phase-domain: Mosaic has no atan2
+    lowering, and since rotation preserves magnitude and shifts angle,
+    atan2/|v| are precomputed OUTSIDE as vectorized streams and the
+    kernel works on normalize(in_phase - phase) (models/digital.
+    MeteorCostas uses the identical formulation so bit-equivalence holds;
+    pinned by tests).
     """
     n = re.shape[0]
     alpha = np.float32(alpha)
@@ -312,42 +317,47 @@ def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
     two_pi = np.float32(2.0) * FL_PI
     k8 = np.float32(np.sqrt(2.0) - 1.0)
     one = np.float32(1.0)
+    meteor = order == "meteor"
 
     def make_body(in_refs, out_ref):
-        re_ref, im_ref = in_refs
+        a_ref, b_ref = in_refs
 
         def body(t, carry):
             phase, freq = carry
             out_ref[t] = phase
-            c = jnp.cos(-phase)
-            s = jnp.sin(-phase)
-            a, b = re_ref[t], im_ref[t]
-            rr = a * c - b * s
-            ri = a * s + b * c
-            if order == 2:
-                err = rr * ri
-            elif order == 4:
-                sr = jnp.where(rr > 0, one, -one)
-                si = jnp.where(ri > 0, one, -one)
-                err = sr * ri - si * rr
-            elif order == 8:
-                sr = jnp.where(rr > 0, one, -one)
-                si = jnp.where(ri > 0, one, -one)
-                err = jnp.where(jnp.abs(rr) >= jnp.abs(ri),
-                                sr * ri - si * rr * k8,
-                                sr * ri * k8 - si * rr)
-            else:  # "meteor" broken-modulation error
-                ph = jnp.arctan2(ri, rr)
+            if meteor:
+                # a = atan2(v), b = |v| (precomputed outside the kernel)
+                d0 = a_ref[t] - phase
+                d0 = jnp.where(d0 > FL_PI, d0 - two_pi, d0)
+                d0 = jnp.where(d0 <= -FL_PI, d0 + two_pi, d0)
                 best = np.float32(0.0)
                 best_abs = np.float32(1e9)
                 for p in METEOR_PHASES:
-                    d = ph - np.float32(p)
+                    d = d0 - np.float32(p)
                     d = jnp.where(d > FL_PI, d - two_pi, d)
                     d = jnp.where(d <= -FL_PI, d + two_pi, d)
                     take = jnp.abs(d) < best_abs
                     best = jnp.where(take, d, best)
                     best_abs = jnp.where(take, jnp.abs(d), best_abs)
-                err = best * jnp.sqrt(rr * rr + ri * ri)
+                err = best * b_ref[t]
+            else:
+                c = jnp.cos(-phase)
+                s = jnp.sin(-phase)
+                a, b = a_ref[t], b_ref[t]
+                rr = a * c - b * s
+                ri = a * s + b * c
+                if order == 2:
+                    err = rr * ri
+                elif order == 4:
+                    sr = jnp.where(rr > 0, one, -one)
+                    si = jnp.where(ri > 0, one, -one)
+                    err = sr * ri - si * rr
+                else:  # order == 8
+                    sr = jnp.where(rr > 0, one, -one)
+                    si = jnp.where(ri > 0, one, -one)
+                    err = jnp.where(jnp.abs(rr) >= jnp.abs(ri),
+                                    sr * ri - si * rr * k8,
+                                    sr * ri * k8 - si * rr)
             err = jnp.clip(err, -one, one)
             freq = jnp.clip(freq + beta * err, min_freq, max_freq)
             phase = phase + freq + alpha * err
@@ -358,11 +368,15 @@ def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
 
         return body
 
+    re = re.astype(jnp.float32)
+    im = im.astype(jnp.float32)
+    if meteor:
+        streams = [jnp.arctan2(im, re), jnp.sqrt(re * re + im * im)]
+    else:
+        streams = [re, im]
     state = jnp.stack([jnp.asarray(phase0, jnp.float32),
                        jnp.asarray(freq0, jnp.float32)])
-    out, fin = _dispatch_scan_call(
-        make_body, state,
-        [re.astype(jnp.float32), im.astype(jnp.float32)], interpret)
+    out, fin = _dispatch_scan_call(make_body, state, streams, interpret)
     return out, fin[0], fin[1]
 
 

@@ -1,0 +1,97 @@
+"""Probe every Pallas kernel on the CURRENT backend and report
+COMPILED/FAILED — silent lax.scan fallbacks can mask real-hardware Mosaic
+rejections (found: the Viterbi ACS never compiled on the chip while its
+interpret-mode tests passed).
+
+Usage: python tools/check_pallas_on_tpu.py
+"""
+
+import sys
+import traceback
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    print(f"backend: {jax.default_backend()}")
+    rng = np.random.default_rng(0)
+    n = 8192
+    xs = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    checks = []
+
+    def check(name, fn):
+        try:
+            out = fn()
+            jax.block_until_ready(out)
+            # force a true sync via readback of a small reduction
+            float(np.asarray(out if out.ndim == 0 else out.ravel()[0]))
+            checks.append((name, "COMPILED"))
+        except Exception as e:
+            checks.append((name, f"FAILED {type(e).__name__}: {str(e)[:120]}"))
+            if "-v" in sys.argv:
+                traceback.print_exc()
+
+    from sdrpp_tpu.ops.scans_pallas import (agc_gains_pallas,
+                                            costas_phases_pallas,
+                                            fast_agc_gains_pallas,
+                                            pll_phases_pallas)
+
+    check("pll_phases_pallas (scalar SMEM)", lambda: jax.jit(
+        lambda x: jnp.sum(pll_phases_pallas(
+            jnp.arctan2(x[1], x[0]), 0.0, 0.0, 0.01, 0.001, -1.0, 1.0)[0]))(xs))
+    check("pll lane-batched [8, n]", lambda: jax.jit(
+        lambda x: jnp.sum(pll_phases_pallas(
+            jnp.broadcast_to(jnp.arctan2(x[1], x[0]), (8, n)),
+            jnp.zeros(8), jnp.zeros(8), 0.01, 0.001, -1.0, 1.0)[0]))(xs))
+    check("fast_agc_gains_pallas", lambda: jax.jit(
+        lambda x: jnp.sum(fast_agc_gains_pallas(
+            jnp.abs(x[0]), 1.0, 1.0, 1e6, 0.01)[0]))(xs))
+    check("agc_gains_pallas", lambda: jax.jit(
+        lambda x: jnp.sum(agc_gains_pallas(
+            jnp.abs(x[0]),
+            jax.lax.cummax(jnp.abs(x[0]), reverse=True),
+            1.0, 1.0, 1.0, 0.01, 0.001, 1e6, 1e6)[0]))(xs))
+    check("costas_phases_pallas (order 2)", lambda: jax.jit(
+        lambda x: jnp.sum(costas_phases_pallas(
+            x[0], x[1], 0.0, 0.0, 2, 0.01, 0.001, -1.0, 1.0)[0]))(xs))
+    check("costas meteor error fn", lambda: jax.jit(
+        lambda x: jnp.sum(costas_phases_pallas(
+            x[0], x[1], 0.0, 0.0, "meteor", 0.01, 0.001, -1.0, 1.0)[0]))(xs))
+
+    from sdrpp_tpu.ops.clock_recovery_pallas import MMClockRecoveryPallas
+
+    mm = MMClockRecoveryPallas(10.0, 0.001, 0.01, 0.01, complex_input=False)
+    check("MM clock recovery pallas", lambda: jax.jit(
+        lambda x: jnp.sum(mm(mm.init_state(), x[0])[1][0]))(xs))
+
+    from sdrpp_tpu.ops.fec import ConvCode
+
+    code = ConvCode(2, 7, (0o171, 0o133))
+    soft = jnp.asarray(rng.uniform(0, 255, 4096).astype(np.float32))
+
+    def _acs():
+        from sdrpp_tpu.ops.fec_pallas import viterbi_acs_pallas
+        expected = jnp.asarray(code.reg_outputs.astype(np.float32) * 255.0)
+        return jax.jit(lambda s: jnp.sum(viterbi_acs_pallas(
+            s.reshape(-1, 2), expected, 64).astype(jnp.float32)))(soft)
+
+    check("viterbi_acs_pallas", _acs)
+
+    width = max(len(n) for n, _ in checks)
+    failed = 0
+    for name, status in checks:
+        print(f"{name:<{width}}  {status}")
+        failed += status != "COMPILED"
+    print(f"{len(checks) - failed}/{len(checks)} kernels compiled on "
+          f"{jax.default_backend()}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,7 +58,12 @@ class LRPTDecoder:
         self._rs_batch = jax.jit(jax.vmap(self.rs.decode))
 
     def viterbi(self, soft_u8: np.ndarray) -> np.ndarray:
-        return self.conv.decode_soft_bytes(soft_u8)
+        from .. import ops
+
+        bits = self.conv.decode_soft_stream(np.asarray(soft_u8,
+                                                       np.float32))
+        n = (len(bits) // 8) * 8
+        return ops.fec._bytes_from_bits(bits[:n])
 
     def rs_decode_blocks(self, blocks: np.ndarray):
         """[N, 255] uint8 -> ([N, 223] corrected, [N] ok flags)."""

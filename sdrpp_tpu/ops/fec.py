@@ -216,9 +216,102 @@ class ConvCode:
                               bits.ctypes.data)
         return bits[: total - flush_bits]
 
+    # windows per batched-ACS call (the kernels grid over time, so VMEM
+    # holds one 32/128-step block regardless; this bounds HBM staging and
+    # amortizes the per-call dispatch latency of a remote TPU)
+    _STREAM_BATCH = 128
+
+    def decode_soft_stream(self, soft_bits: np.ndarray,
+                           chunk_bits: int = 4096,
+                           overlap_bits: int = 96) -> np.ndarray:
+        """Chunk-parallel truncated Viterbi for LONG soft-bit streams.
+
+        The trellis splits into ``chunk_bits``-step windows extended by
+        ``overlap_bits`` of warm-up/warm-down; all windows run in ONE
+        batched Pallas ACS call (chunks in VPU sublanes,
+        fec_pallas.viterbi_acs_pallas_batched), then each window's
+        traceback walks in native C and only the interior bits are kept.
+        Standard truncated-Viterbi semantics: survivor paths merge within
+        ~5 constraint lengths, so with the default 96-step overlap
+        (~14 K for K=7) the output equals the exact decode except with
+        vanishing probability at very low SNR near chunk seams. Falls
+        back to the exact decode for short inputs or when the native
+        traceback is unavailable.
+        """
+        total = len(soft_bits) // self.rate
+        L, W = int(chunk_bits), int(overlap_bits)
+        t_w = L + 2 * W
+        try:
+            from .fec_pallas import _pallas_available
+            use_stream = _pallas_available()
+        except Exception:
+            use_stream = False
+        if total <= t_w or not use_stream:
+            return self.decode_soft_np(soft_bits)
+        soft_arr = np.asarray(soft_bits)
+        # ship integral soft bits (e.g. LRPT's u8 symbols) as uint8 — a
+        # remote TPU's host->device upload is 4x cheaper than f32; the
+        # jit converts to f32 in-graph
+        if (np.issubdtype(soft_arr.dtype, np.integer)
+                or (soft_arr.dtype == np.float32
+                    and np.all(soft_arr == np.floor(soft_arr))
+                    and soft_arr.min() >= 0 and soft_arr.max() <= 255)):
+            soft2 = soft_arr.astype(np.uint8).reshape(total, self.rate)
+        else:
+            soft2 = soft_arr.astype(np.float32).reshape(total, self.rate)
+        n_chunks = -(-total // L)
+        starts = np.clip(np.arange(n_chunks) * L - W, 0, total - t_w)
+        bits = np.empty(total, np.uint8)
+        B = self._STREAM_BATCH
+        for b0 in range(0, n_chunks, B):
+            group = range(b0, min(b0 + B, n_chunks))
+            windows = np.stack([soft2[starts[c]: starts[c] + t_w]
+                                for c in group])
+            if len(group) < B:  # pad to a constant shape (one jit trace)
+                windows = np.concatenate(
+                    [windows, np.zeros((B - len(group), t_w, self.rate),
+                                       soft2.dtype)])
+            # ACS + one-hot traceback both on device: the [B, t_w, S]
+            # decision matrix never crosses the tunnel, only [B, t_w] bits
+            wbits = np.asarray(self._jit_stream(jnp.asarray(windows)))
+            for i, c in enumerate(group):
+                g0, g1 = c * L, min((c + 1) * L, total)
+                bits[g0:g1] = wbits[i, g0 - starts[c]: g1 - starts[c]]
+        return bits[: total - (self.order + 1)]
+
+    @functools.cached_property
+    def _jit_stream(self):
+        from .fec_pallas import (viterbi_acs_pallas_batched,
+                                 viterbi_traceback_pallas_batched)
+
+        expected = jnp.asarray(self.reg_outputs.astype(np.float32) * 255.0)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        S = self.num_states
+
+        def run(w):
+            dec = viterbi_acs_pallas_batched(w, expected, S,
+                                             interpret=interpret)
+            return viterbi_traceback_pallas_batched(dec, S,
+                                                    interpret=interpret)
+
+        return jax.jit(run)
+
+    @functools.cached_property
+    def _jit_acs_batched(self):
+        from .fec_pallas import viterbi_acs_pallas_batched
+
+        expected = jnp.asarray(self.reg_outputs.astype(np.float32) * 255.0)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return jax.jit(lambda w: viterbi_acs_pallas_batched(
+            w, expected, self.num_states, interpret=interpret))
+
     @functools.cached_property
     def _jit_acs(self):
-        return jax.jit(self.acs_decisions)
+        # a fresh lambda each (re)build: jax.jit's global trace cache keys
+        # on function EQUALITY, and bound methods of the same instance
+        # compare equal — after a pallas-failure fallback the rebuilt jit
+        # would otherwise reuse the poisoned trace
+        return jax.jit(lambda s: self.acs_decisions(s))
 
     @functools.lru_cache(maxsize=None)  # noqa: B019 - per-instance cache
     def _jit_decode(self, flush_bits: int):

@@ -25,3 +25,62 @@ def test_pallas_acs_matches_xla(order, polys):
     # And both recover the message.
     dec = np.packbits(pal[: (len(pal) // 8) * 8])
     np.testing.assert_array_equal(dec[: len(msg)], msg)
+
+
+def test_batched_acs_matches_single():
+    """viterbi_acs_pallas_batched (interpret) row b == single-stream ACS
+    over stream b."""
+    import jax.numpy as jnp
+
+    from sdrpp_tpu.ops.fec import ConvCode
+    from sdrpp_tpu.ops.fec_pallas import (viterbi_acs_pallas,
+                                          viterbi_acs_pallas_batched)
+
+    code = ConvCode(2, 7, (0o171, 0o133))
+    expected = jnp.asarray(code.reg_outputs.astype(np.float32) * 255.0)
+    rng = np.random.default_rng(9)
+    B, T = 3, 200
+    soft = rng.uniform(0, 255, (B, T, 2)).astype(np.float32)
+    batched = np.asarray(viterbi_acs_pallas_batched(
+        jnp.asarray(soft), expected, 64, interpret=True))
+    for b in range(B):
+        single = np.asarray(viterbi_acs_pallas(
+            jnp.asarray(soft[b]), expected, 64, interpret=True))
+        np.testing.assert_array_equal(batched[b], single.astype(np.int8))
+
+
+def test_decode_soft_stream_matches_exact():
+    """Chunk-parallel truncated Viterbi == exact decode on a long noisy
+    stream at moderate SNR (survivors merge well within the overlap)."""
+    from sdrpp_tpu.ops import fec_pallas
+    from sdrpp_tpu.ops.fec import ConvCode
+    from sdrpp_tpu.utils import native
+
+    if native.load() is None:
+        pytest.skip("native traceback unavailable")
+    # force the chunked path off-TPU (interpret-mode batched kernel)
+    orig = fec_pallas._pallas_available
+    fec_pallas._pallas_available = lambda: True
+    try:
+        _run_stream_check()
+    finally:
+        fec_pallas._pallas_available = orig
+
+
+def _run_stream_check():
+    from sdrpp_tpu.ops.fec import ConvCode
+
+    code = ConvCode(2, 7, (0o171, 0o133))
+    rng = np.random.default_rng(11)
+    msg = rng.integers(0, 256, 1500).astype(np.uint8)  # 12000 info bits
+    coded = code.encode(msg)
+    bits = np.unpackbits(coded).astype(np.float32)
+    noisy = np.clip(bits * 255.0 + rng.normal(0, 48, bits.shape),
+                    0, 255).astype(np.float32)
+    exact = code.decode_soft_np(noisy)
+    stream = code.decode_soft_stream(noisy, chunk_bits=1024, overlap_bits=96)
+    assert stream.shape == exact.shape
+    np.testing.assert_array_equal(stream, exact)
+    # short input falls back to the exact path
+    short = code.decode_soft_stream(noisy[:2048])
+    np.testing.assert_array_equal(short, code.decode_soft_np(noisy[:2048]))

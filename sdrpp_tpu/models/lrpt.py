@@ -60,8 +60,9 @@ class LRPTDecoder:
     def viterbi(self, soft_u8: np.ndarray) -> np.ndarray:
         from .. import ops
 
-        bits = self.conv.decode_soft_stream(np.asarray(soft_u8,
-                                                       np.float32))
+        # pass the u8 symbols through unchanged: the stream decoder ships
+        # integral soft bits as uint8 (4x cheaper host->device upload)
+        bits = self.conv.decode_soft_stream(np.asarray(soft_u8))
         n = (len(bits) // 8) * 8
         return ops.fec._bytes_from_bits(bits[:n])
 

@@ -200,7 +200,16 @@ class ConvCode:
             lib = None
         if lib is None:
             fn = self._jit_decode(flush_bits)
-            return np.asarray(fn(jnp.asarray(soft_bits)))
+            try:
+                return np.asarray(fn(jnp.asarray(soft_bits)))
+            except Exception:
+                # same Pallas compile-failure fallback as the native-lib
+                # branch below
+                self._disable_pallas = True
+                self.__dict__.pop("_jit_acs", None)
+                self._jit_decode.cache_clear()
+                fn = self._jit_decode(flush_bits)
+                return np.asarray(fn(jnp.asarray(soft_bits)))
         try:
             dec = np.asarray(self._jit_acs(jnp.asarray(soft_bits)))
         except Exception:
@@ -227,23 +236,29 @@ class ConvCode:
         """Chunk-parallel truncated Viterbi for LONG soft-bit streams.
 
         The trellis splits into ``chunk_bits``-step windows extended by
-        ``overlap_bits`` of warm-up/warm-down; all windows run in ONE
-        batched Pallas ACS call (chunks in VPU sublanes,
-        fec_pallas.viterbi_acs_pallas_batched), then each window's
-        traceback walks in native C and only the interior bits are kept.
+        ``overlap_bits`` of warm-up/warm-down; the windows run batched on
+        device — ACS with chunks in VPU sublanes
+        (fec_pallas.viterbi_acs_pallas_batched), then the survivor
+        traceback ALSO on device via one-hot-state matmuls
+        (viterbi_traceback_pallas_batched) so only bits cross the
+        host<->device boundary — and only the interior bits are kept.
         Standard truncated-Viterbi semantics: survivor paths merge within
         ~5 constraint lengths, so with the default 96-step overlap
         (~14 K for K=7) the output equals the exact decode except with
         vanishing probability at very low SNR near chunk seams. Falls
-        back to the exact decode for short inputs or when the native
-        traceback is unavailable.
+        back to the exact decode for short inputs, off-TPU, under
+        SDRPP_TPU_VITERBI=scan, or if the batched kernels fail to
+        compile on this backend.
         """
         total = len(soft_bits) // self.rate
         L, W = int(chunk_bits), int(overlap_bits)
         t_w = L + 2 * W
         try:
             from .fec_pallas import _pallas_available
-            use_stream = _pallas_available()
+            use_stream = (_pallas_available()
+                          and os.environ.get("SDRPP_TPU_VITERBI",
+                                             "auto") != "scan"
+                          and not getattr(self, "_disable_stream", False))
         except Exception:
             use_stream = False
         if total <= t_w or not use_stream:
@@ -273,7 +288,14 @@ class ConvCode:
                                        soft2.dtype)])
             # ACS + one-hot traceback both on device: the [B, t_w, S]
             # decision matrix never crosses the tunnel, only [B, t_w] bits
-            wbits = np.asarray(self._jit_stream(jnp.asarray(windows)))
+            try:
+                wbits = np.asarray(self._jit_stream(jnp.asarray(windows)))
+            except Exception:
+                # batched kernels failed to compile on this backend: pin
+                # the fallback and decode the whole stream exactly
+                self._disable_stream = True
+                self.__dict__.pop("_jit_stream", None)
+                return self.decode_soft_np(soft_bits)
             for i, c in enumerate(group):
                 g0, g1 = c * L, min((c + 1) * L, total)
                 bits[g0:g1] = wbits[i, g0 - starts[c]: g1 - starts[c]]
@@ -295,15 +317,6 @@ class ConvCode:
                                                     interpret=interpret)
 
         return jax.jit(run)
-
-    @functools.cached_property
-    def _jit_acs_batched(self):
-        from .fec_pallas import viterbi_acs_pallas_batched
-
-        expected = jnp.asarray(self.reg_outputs.astype(np.float32) * 255.0)
-        interpret = jax.default_backend() not in ("tpu", "axon")
-        return jax.jit(lambda w: viterbi_acs_pallas_batched(
-            w, expected, self.num_states, interpret=interpret))
 
     @functools.cached_property
     def _jit_acs(self):

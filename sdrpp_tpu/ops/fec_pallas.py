@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from .fec import ConvCode
 
-__all__ = ["viterbi_acs_pallas", "decode_soft_tpu"]
+__all__ = ["viterbi_acs_pallas", "viterbi_acs_pallas_batched",
+           "viterbi_traceback_pallas_batched", "decode_soft_tpu"]
 
 
 def _pallas_available() -> bool:
@@ -157,11 +158,9 @@ def viterbi_traceback_pallas_batched(dec: jax.Array, num_states: int,
                    ((0, pad_b - B), (0, t_pad - T), (0, pad_s - S)))
     decp = jnp.swapaxes(decp, 0, 1)  # [t_pad, pad_b, pad_s]
 
-    h0 = np.zeros((S, S), np.float32)
-    h1 = np.zeros((S, S), np.float32)
-    for s in range(S):
-        h0[s, s >> 1] = 1.0
-        h1[s, (s >> 1) + S // 2] = 1.0
+    # the backward maps are exactly the forward expansions transposed:
+    # (onehot @ e0.T)[p] = onehot[s] where p = s>>1
+    h0, h1 = (m.T.copy() for m in _expansion_matrices(S))
     parity = np.zeros((1, pad_s), np.float32)
     parity[0, :S] = (np.arange(S) & 1).astype(np.float32)
 

@@ -42,6 +42,15 @@ def load():
     if not _LIB_PATH.exists() and not _build():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
+    if not hasattr(lib, "viterbi_traceback"):
+        # stale prebuilt .so from before the symbol existed: rebuild once
+        # (binding an absent symbol below would raise AttributeError into
+        # every caller — ingest/egress paths that worked before)
+        if not _build():
+            return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        if not hasattr(lib, "viterbi_traceback"):
+            return None
     # Signatures
     lib.ring_create.restype = ctypes.c_void_p
     lib.ring_create.argtypes = [ctypes.c_size_t]

@@ -83,6 +83,23 @@ def main():
 
     check("viterbi_acs_pallas", _acs)
 
+    def _acs_batched():
+        from sdrpp_tpu.ops.fec_pallas import viterbi_acs_pallas_batched
+        expected = jnp.asarray(code.reg_outputs.astype(np.float32) * 255.0)
+        w = jnp.asarray(rng.uniform(0, 255, (8, 512, 2)).astype(np.float32))
+        return jax.jit(lambda s: jnp.sum(viterbi_acs_pallas_batched(
+            s, expected, 64).astype(jnp.float32)))(w)
+
+    check("viterbi_acs_pallas_batched", _acs_batched)
+
+    def _traceback_batched():
+        from sdrpp_tpu.ops.fec_pallas import viterbi_traceback_pallas_batched
+        d = jnp.asarray(rng.integers(0, 2, (8, 512, 64)).astype(np.int8))
+        return jax.jit(lambda x: jnp.sum(viterbi_traceback_pallas_batched(
+            x, 64).astype(jnp.float32)))(d)
+
+    check("viterbi_traceback_pallas_batched", _traceback_batched)
+
     width = max(len(n) for n, _ in checks)
     failed = 0
     for name, status in checks:

@@ -90,6 +90,7 @@ class ReceiverEngine:
         self._audio_event = threading.Condition(self.lock)
         self._ensure_audio_ring("vfo0")
 
+        self.bookmarks = None  # FrequencyManager, see attach_bookmarks
         self._wf_total = 0  # monotonic count of FFT lines pushed
         self._controls: list[tuple[str, object]] = []
         self._stop = threading.Event()
@@ -188,6 +189,23 @@ class ReceiverEngine:
         self._state = (fe_state, chan_states)
         self._built_cfgs = cfgs
 
+    def attach_bookmarks(self, config_path=None):
+        """Enable the frequency manager (misc_modules/frequency_manager):
+        bookmarks persist to ``config_path`` (session file) or stay
+        in-memory when None."""
+        from ..utils.config import ConfigManager
+        from .frequency_manager import FrequencyManager
+
+        if config_path is None:
+            import tempfile
+
+            config_path = tempfile.mktemp(suffix=".json")
+            cm = ConfigManager(config_path, auto_save=False)
+        else:
+            cm = ConfigManager(config_path)
+        self.bookmarks = FrequencyManager(cm)
+        return self.bookmarks
+
     # ---- control plane ----
 
     def control(self, action: str, value=None):
@@ -220,6 +238,32 @@ class ReceiverEngine:
             if hasattr(self.source, "tune"):
                 self.source.tune(float(value))
                 self.center_freq = float(value)
+            return
+        if action in ("add_bookmark", "delete_bookmark", "apply_bookmark"):
+            if self.bookmarks is None:
+                raise ValueError("bookmarks not enabled")
+            if action == "add_bookmark":
+                if not isinstance(value, dict) or not value.get("name"):
+                    raise ValueError("add_bookmark needs {name, ...}")
+                with self.lock:
+                    sel = self.vfos[self.selected]
+                    bw = self._effective_bandwidth(self.selected)
+                self.bookmarks.add(
+                    str(value["name"]),
+                    float(value.get("frequency", sel["offset"])),
+                    float(value.get("bandwidth", bw)),
+                    str(value.get("mode", sel["mode"])))
+                return
+            bm = self.bookmarks.get(str(value))
+            if action == "delete_bookmark":
+                self.bookmarks.remove(str(value))
+                return
+            if bm is None:
+                raise ValueError(f"unknown bookmark {value!r}")
+            # apply: retune the SELECTED vfo (the reference's double-click)
+            self.control("set_mode", bm.mode)
+            self.control("set_bandwidth", bm.bandwidth)
+            self.control("set_offset", bm.frequency)
             return
         valid = {"set_offset", "set_mode", "set_bandwidth", "set_squelch",
                  "set_deemphasis", "set_rds", "add_vfo", "delete_vfo",
@@ -527,6 +571,14 @@ class _Handler(BaseHTTPRequestHandler):
                 self._bytes(HTML_PAGE.encode(), "text/html; charset=utf-8")
             elif url.path == "/api/state":
                 self._json(self.engine.snapshot())
+            elif url.path == "/api/bookmarks":
+                bms = self.engine.bookmarks
+                self._json({"enabled": bms is not None,
+                            "list": bms.selected_list if bms else None,
+                            "lists": bms.lists() if bms else [],
+                            "bookmarks": ({k: dict(v) for k, v in
+                                           bms.bookmarks().items()}
+                                          if bms else {})})
             elif url.path == "/api/fft":
                 self._get_fft()
             elif url.path == "/api/waterfall":
@@ -660,6 +712,7 @@ def serve_ui(engine: ReceiverEngine, addr="127.0.0.1", port=8080,
              forever=True, config_path=None):
     if config_path is not None:
         load_session(engine, config_path)
+    engine.attach_bookmarks(config_path)
     srv = WebUIServer(engine, addr, port)
     engine.start()
     log.info(f"web panadapter on http://{addr}:{srv.server_address[1]}/")
@@ -701,6 +754,9 @@ button{cursor:pointer} canvas{display:block;width:100%}
  <button id="auto">auto range</button>
  <label><input id="hold" type="checkbox"> hold</label>
  <label><input id="rds" type="checkbox"> RDS</label>
+ <label>bm <select id="bmsel"><option value="">—</option></select></label>
+ <button id="bmadd" title="bookmark the selected VFO">&#9733;</button>
+ <button id="bmdel" title="delete bookmark">&#x2717;</button>
  <span id="meter">SNR -- dB</span>
  <span id="rdsinfo" style="color:#fc6"></span>
  <span id="err" style="color:#f66"></span>
@@ -746,7 +802,8 @@ async function drawSpec(){if(!st)return;
   const sel=name===st.selected;
   g.fillStyle=sel?'rgba(120,200,255,0.15)':'rgba(160,160,160,0.10)';g.fillRect(vx-vw/2,0,vw,H);
   g.strokeStyle=sel?'#7ec8ff':'#888';g.beginPath();g.moveTo(vx,0);g.lineTo(vx,H);g.stroke();
-  g.fillStyle=sel?'#7ec8ff':'#888';g.fillText(name,vx+3,12);}}
+  g.fillStyle=sel?'#7ec8ff':'#888';g.fillText(name,vx+3,12);}
+ drawBookmarks(g,W,H);}
 async function drawWf(){if(!st)return;
  const r=await fetch('/api/waterfall?since='+wfLine),buf=await r.arrayBuffer();
  const rows=+r.headers.get('X-Rows'),width=+r.headers.get('X-Width');wfLine=+r.headers.get('X-Line');
@@ -798,7 +855,27 @@ $('deemph').addEventListener('change',()=>ctl('set_deemphasis',$('deemph').value
 let player=null;
 $('audio').addEventListener('click',()=>{if(player){player.pause();player=null;$('audio').textContent='\\u25b6 audio';}
  else{player=new Audio('/audio.wav?vfo='+st.selected+'&t='+Date.now());player.play();$('audio').textContent='\\u23f8 audio';}});
-getState();setInterval(getState,1000);
+let bms={};
+async function getBookmarks(){const r=await (await fetch('/api/bookmarks')).json();
+ if(!r.enabled)return;bms=r.bookmarks;const sel=$('bmsel');const cur=sel.value;
+ const names=Object.keys(bms);
+ if([...sel.options].slice(1).map(o=>o.value).join()!==names.join()){
+  sel.innerHTML='<option value="">—</option>';
+  names.forEach(n=>{const o=document.createElement('option');o.value=o.textContent=n;sel.append(o);});
+  sel.value=names.includes(cur)?cur:'';}}
+$('bmsel').addEventListener('change',()=>{if($('bmsel').value)ctl('apply_bookmark',$('bmsel').value);});
+$('bmadd').addEventListener('click',()=>{const n=prompt('bookmark name');
+ if(n)ctl('add_bookmark',{name:n}).then(getBookmarks);});
+$('bmdel').addEventListener('click',()=>{if($('bmsel').value)
+ ctl('delete_bookmark',$('bmsel').value).then(getBookmarks);});
+function drawBookmarks(g,W,H){if(!st)return;
+ g.font='10px sans-serif';
+ for(const [name,bm] of Object.entries(bms)){
+  const x=((bm.frequency-st.view_offset)/st.view_bandwidth+0.5)*W;
+  if(x<0||x>W)continue;
+  g.strokeStyle='#fd5';g.setLineDash([2,3]);g.beginPath();g.moveTo(x,14);g.lineTo(x,H);g.stroke();g.setLineDash([]);
+  g.fillStyle='#fd5';g.fillText('⚑ '+name,x+2,24);}}
+getState();setInterval(getState,1000);getBookmarks();setInterval(getBookmarks,3000);
 setInterval(drawSpec,100);setInterval(drawWf,100);
 </script></body></html>
 """

@@ -412,3 +412,51 @@ def test_raw_mode_and_deemphasis_controls(server):
         assert len(r.read(4 * 480)) == 4 * 480
     _post(base + "/api/control", {"action": "set_mode", "value": "nfm"})
     _post(base + "/api/control", {"action": "set_offset", "value": 100000.0})
+
+
+def test_bookmarks_roundtrip(tmp_path, server):
+    _, eng, base = server
+    eng.attach_bookmarks(tmp_path / "bm.json")
+    st = _get(base + "/api/bookmarks")
+    assert st["enabled"] and st["bookmarks"] == {}
+
+    # bookmark the current VFO (defaults from its cfg)
+    _post(base + "/api/control", {"action": "set_offset", "value": 120000.0})
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)
+    code, _ = _post(base + "/api/control",
+                    {"action": "add_bookmark", "value": {"name": "beacon"}})
+    assert code == 200
+    st = _get(base + "/api/bookmarks")
+    assert st["bookmarks"]["beacon"]["frequency"] == 120000.0
+    assert st["bookmarks"]["beacon"]["mode"] == "nfm"
+
+    # move away, then apply the bookmark -> back to 120 kHz
+    _post(base + "/api/control", {"action": "set_offset", "value": -50000.0})
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)
+    code, _ = _post(base + "/api/control",
+                    {"action": "apply_bookmark", "value": "beacon"})
+    assert code == 200
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)
+    s = _get(base + "/api/state")
+    assert s["offset"] == 120000.0 and s["mode"] == "nfm"
+    assert s["error"] is None
+
+    # persisted to the config file
+    import json as _json
+    saved = _json.loads((tmp_path / "bm.json").read_text())
+    assert saved["lists"]["General"]["bookmarks"]["beacon"]["frequency"] \
+        == 120000.0
+
+    code, _ = _post(base + "/api/control",
+                    {"action": "delete_bookmark", "value": "beacon"})
+    assert code == 200
+    st = _get(base + "/api/bookmarks")
+    assert st["bookmarks"] == {}
+    code, _ = _post(base + "/api/control",
+                    {"action": "apply_bookmark", "value": "nope"})
+    assert code == 400
+    # restore for other tests
+    _post(base + "/api/control", {"action": "set_offset", "value": 100000.0})

@@ -197,9 +197,14 @@ class ReceiverEngine:
         from .frequency_manager import FrequencyManager
 
         if config_path is None:
+            import os
             import tempfile
+            from pathlib import Path
 
-            config_path = tempfile.mktemp(suffix=".json")
+            # in-memory store: auto_save=False means this path is never
+            # actually written
+            config_path = Path(tempfile.gettempdir()) \
+                / f"sdrpp_tpu_bm_{os.getpid()}.json"
             cm = ConfigManager(config_path, auto_save=False)
         else:
             cm = ConfigManager(config_path)

@@ -139,7 +139,8 @@ class ReceiverEngine:
                                audio_rate=self.audio_rate,
                                squelch_level=cfg["squelch"],
                                deemphasis=cfg["deemphasis"],
-                               rds=bool(cfg.get("rds")))
+                               rds=bool(cfg.get("rds")),
+                               dynamic_offset=True)
             for name, cfg in cfgs.items()}
         bm = 1
         for chan in channels.values():
@@ -156,13 +157,19 @@ class ReceiverEngine:
                 new_cs[name], audio[name] = chan(state[1][name], iq)
             return (fe, new_cs), (audio, fft)
 
+        # offsets live in STATE (dynamic VFOs), so they don't participate
+        # in the "did this channel's graph change" comparison — a carried
+        # state at a different offset is still the right state
+        def _graph_cfg(c):
+            return {k: v for k, v in c.items() if k != "offset"}
+
         old_cfgs = getattr(self, "_built_cfgs", {})
         old_state = getattr(self, "_state", None)
         same_block = getattr(self, "_block", None) == block
         chan_states = {}
         for name, chan in channels.items():
             if (old_state is not None and name in old_cfgs
-                    and old_cfgs[name] == cfgs[name]):
+                    and _graph_cfg(old_cfgs[name]) == _graph_cfg(cfgs[name])):
                 chan_states[name] = old_state[1][name]
             else:
                 chan_states[name] = device_state(chan.init_state)
@@ -177,7 +184,8 @@ class ReceiverEngine:
         for name, chan in channels.items():
             if not chan.rds:
                 continue
-            if name in self._rds and old_cfgs.get(name) == cfgs[name]:
+            if (name in self._rds and name in old_cfgs
+                    and _graph_cfg(old_cfgs[name]) == _graph_cfg(cfgs[name])):
                 new_rds[name] = self._rds[name]
             else:
                 new_rds[name] = RDSReceiver()
@@ -318,12 +326,24 @@ class ReceiverEngine:
             # vfos/selected in snapshot()); only _build stays outside —
             # it re-traces jit, and by then the dicts are consistent and
             # this engine thread is the sole writer.
+            retunes: dict[str, float] = {}
+            rebuild = False
             for action, value in pending:
                 cfg = self.vfos[self.selected]
                 if action == "set_offset":
                     half = self.samplerate / 2.0
                     cfg["offset"] = float(np.clip(value, -half, half))
-                elif action == "set_mode":
+                    # dynamic VFO: a state-scalar write, NOT a rebuild —
+                    # click-to-tune must not pay a re-jit (seconds over a
+                    # remote-TPU link)
+                    retunes[self.selected] = cfg["offset"]
+                    continue
+                if action == "select_vfo":
+                    if value in self.vfos:
+                        self.selected = str(value)
+                    continue
+                rebuild = True
+                if action == "set_mode":
                     cfg["mode"] = str(value)
                     cfg["bandwidth"] = None  # back to the mode default
                 elif action == "set_bandwidth":
@@ -335,9 +355,6 @@ class ReceiverEngine:
                 elif action == "set_rds":
                     cfg["rds"] = bool(value)  # RadioChannel ignores it
                     #                           outside wfm mode
-                elif action == "select_vfo":
-                    if value in self.vfos:
-                        self.selected = str(value)
                 elif action == "add_vfo":
                     name = str(value["name"])
                     self.vfos[name] = dict(
@@ -356,7 +373,17 @@ class ReceiverEngine:
                             self.selected = next(iter(self.vfos))
             self.waterfall.select_vfo(self.vfos[self.selected]["offset"],
                                       self._effective_bandwidth(self.selected))
-        self._build()
+        if rebuild:
+            self._build()  # mode/bw/add/delete: graph changed
+        if retunes:
+            fe, chans = self._state
+            chans = dict(chans)
+            for name, off in retunes.items():
+                if name in self._channels:
+                    chans[name] = self._channels[name].retune_state(
+                        chans[name], off)
+                    self._built_cfgs.get(name, {})["offset"] = off
+            self._state = (fe, chans)
 
     # ---- data plane ----
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..ops import taps as taps_mod
 from ..ops.fir import FIR
-from ..ops.mix import FrequencyXlator
+from ..ops.mix import DynamicFrequencyXlator, FrequencyXlator
 from ..ops.resample import RationalResampler
 from ..utils.blocks import Block
 
@@ -25,14 +25,24 @@ __all__ = ["RxVFO"]
 
 class RxVFO(Block):
     def __init__(self, in_samplerate: float, out_samplerate: float,
-                 bandwidth: float, offset: float, lead_shape=()):
+                 bandwidth: float, offset: float, lead_shape=(),
+                 dynamic_offset: bool = False):
         self.in_samplerate = float(in_samplerate)
         self.out_samplerate = float(out_samplerate)
         self.bandwidth = float(bandwidth)
         self.offset = float(offset)
         self.filter_needed = bandwidth != out_samplerate
+        self.dynamic_offset = bool(dynamic_offset)
 
-        self.xlator = FrequencyXlator(-offset, in_samplerate, lead_shape=lead_shape)
+        # dynamic: the offset lives IN STATE (retune = update a scalar,
+        # no re-jit — what live click-to-tune/scanning need; the exact
+        # static mixer stays the default, see ops/mix.mix_dynamic)
+        if dynamic_offset:
+            self.xlator = DynamicFrequencyXlator(-offset, in_samplerate,
+                                                 lead_shape=lead_shape)
+        else:
+            self.xlator = FrequencyXlator(-offset, in_samplerate,
+                                          lead_shape=lead_shape)
         self.resamp = RationalResampler(in_samplerate, out_samplerate,
                                         lead_shape=lead_shape)
         self.block_multiple = self.resamp.block_multiple
@@ -52,6 +62,18 @@ class RxVFO(Block):
             "resamp": self.resamp.init_state(),
             "filter": self.filter.init_state() if self.filter else (),
         }
+
+    def retune_state(self, state, offset_hz: float):
+        """New state with the VFO moved to ``offset_hz`` (dynamic_offset
+        only) — applied between blocks on the host, no rebuild."""
+        assert self.dynamic_offset, "built with a static offset"
+        hi, lo = self.xlator.offset_state(-float(offset_hz))
+        xl = dict(state["xlator"])
+        xl["omega_hi"] = jnp.full(self.xlator.lead_shape or (), hi,
+                                  jnp.float32)
+        xl["omega_lo"] = jnp.full(self.xlator.lead_shape or (), lo,
+                                  jnp.float32)
+        return dict(state, xlator=xl)
 
     def __call__(self, state, x):
         xs, x = self.xlator(state["xlator"], x)

@@ -71,7 +71,8 @@ class RadioChannel(Block):
                  bandwidth: float | None = None, audio_rate: float = 48000.0,
                  squelch_level: float | None = None, noise_blanker: bool = False,
                  fm_if_nr: bool = False, deemphasis: str | None = None,
-                 stereo_wfm: bool = True, rds: bool = False, lead_shape=()):
+                 stereo_wfm: bool = True, rds: bool = False, lead_shape=(),
+                 dynamic_offset: bool = False):
         mode = mode.lower()
         defaults = DEMOD_DEFAULTS[mode]
         self.mode = mode
@@ -85,7 +86,7 @@ class RadioChannel(Block):
 
         # VFO: bandwidth != out rate adds the channel filter (rx_vfo.h:30-33)
         self.vfo = RxVFO(in_samplerate, if_rate, min(bandwidth, if_rate), offset,
-                         lead_shape=ls)
+                         lead_shape=ls, dynamic_offset=dynamic_offset)
         # IF chain (radio_module.h:68-79)
         self.noise_blanker = (NoiseBlanker(500.0 / 24000.0, 10.0, lead_shape=ls)
                               if noise_blanker else None)
@@ -128,6 +129,12 @@ class RadioChannel(Block):
                 raise ValueError("no valid block multiple found")
             m = cand
         self.block_multiple = m
+
+    def retune_state(self, state, offset_hz: float):
+        """New state with the VFO retuned (dynamic_offset channels only;
+        applied between blocks, no rebuild/re-jit)."""
+        return dict(state, vfo=self.vfo.retune_state(state["vfo"],
+                                                     offset_hz))
 
     def init_state(self):
         return {

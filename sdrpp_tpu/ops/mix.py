@@ -152,3 +152,88 @@ class FrequencyXlator(Block):
 
     def __call__(self, state, x):
         return mix(state, x, self.omega)
+
+
+def mix_dynamic(phase: jax.Array, x: jax.Array, omega_hi: jax.Array,
+                omega_lo: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Mix with a RUNTIME NCO frequency (omega as a traced hi/lo f32 pair).
+
+    The static :func:`mix` bakes the (host-f64-exact) phase ramp into the
+    trace, so changing frequency means re-jitting — seconds of compile on
+    a remote TPU for every retune. Here the ramp computes in-graph with
+    two accuracy devices: (1) the sample index factors as i = a*K + b and
+    each partial product wraps mod 2pi before summing, bounding the f32
+    product-rounding error; (2) omega carries as a DOUBLE-FLOAT hi/lo
+    pair — the f32 quantization of omega alone accumulates to ~1e-2 rad
+    over a 262144-sample block, so the residual rides in as a separate
+    tiny term i*omega_lo (exact in f32 for i < 2^24 because it stays
+    small). Residual: the f32 mod of the k-strided partial leaves a
+    SYSTEMATIC ~5e-3 rad/block worst case — equivalent to a ~0.003 Hz
+    tuning error at 1 Msps, comparable to the reference's f32 VOLK
+    rotator drift and inaudible; offline/bench paths keep the exact
+    static mixer.
+    """
+    n = x.shape[-1]
+    k = 1 << (max(n.bit_length() - 1, 0) // 2)
+    while n % k:
+        k >>= 1
+    a_count = n // k
+    w_hi = jnp.asarray(omega_hi, jnp.float32)
+    w_lo = jnp.asarray(omega_lo, jnp.float32)
+    two_pi = np.float32(TWO_PI)
+    w1 = jnp.mod(w_hi, two_pi)
+    # Cody-Waite reduction of omega*k: a plain f32 mod leaves a BIAS of
+    # ~0.5 ulp(|omega*k|) in wk that the a-ramp amplifies systematically
+    # (measured 0.05 rad/block at omega ~ pi). With 2pi split so that
+    # m * PI2_A is EXACT (PI2_A has 13 significant bits, m <= 2^11), the
+    # reduced wk is accurate to ~1e-6.
+    p = w_hi * np.float32(k)  # exact: k is a power of two
+    m = jnp.round(p * np.float32(1.0 / TWO_PI))
+    pi2_a = np.float32(12868.0 / 2048.0)
+    pi2_b = np.float32(TWO_PI - 12868.0 / 2048.0)
+    pi2_c = np.float32(TWO_PI - 12868.0 / 2048.0
+                       - float(np.float32(TWO_PI - 12868.0 / 2048.0)))
+    wk = ((p - m * pi2_a) - m * pi2_b) - m * pi2_c
+    a = jnp.arange(a_count, dtype=jnp.float32)[:, None]
+    b = jnp.arange(k, dtype=jnp.float32)[None, :]
+    i = a * np.float32(k) + b  # exact: < 2^24
+    ph = jnp.mod(phase[..., None, None] + jnp.mod(a * wk, two_pi)
+                 + jnp.mod(b * w1, two_pi) + i * w_lo, two_pi)
+    ph = ph.reshape(*ph.shape[:-2], n)
+    lo = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    y = x * lo
+    new_phase = jnp.mod(phase + jnp.mod(np.float32(a_count) * wk, two_pi)
+                        + np.float32(n) * w_lo, two_pi)
+    return new_phase, y
+
+
+class DynamicFrequencyXlator(Block):
+    """Frequency translation with the offset carried IN STATE — retuning
+    updates a scalar instead of rebuilding/re-jitting the graph (the web
+    panadapter's click-to-tune and the scanner both need this: a re-jit
+    costs seconds over a remote-TPU link; the reference retunes live by
+    just changing the rotator phase delta, frequency_xlator.h:51-58)."""
+
+    def __init__(self, offset_hz: float, samplerate: float, lead_shape=()):
+        self.samplerate = float(samplerate)
+        self.init_offset = float(offset_hz)
+        self.lead_shape = tuple(lead_shape)
+
+    def init_state(self):
+        hi, lo = self.offset_state(self.init_offset)
+        shp = self.lead_shape
+        return {"phase": jnp.zeros(shp, jnp.float32),
+                "omega_hi": jnp.full(shp or (), hi, jnp.float32),
+                "omega_lo": jnp.full(shp or (), lo, jnp.float32)}
+
+    def offset_state(self, offset_hz: float) -> tuple[np.float32, np.float32]:
+        """Double-float (hi, lo) state leaves for a new offset."""
+        w = float(hz_to_rads(float(offset_hz), self.samplerate))
+        hi = np.float32(w)
+        return hi, np.float32(w - float(hi))
+
+    def __call__(self, state, x):
+        phase, y = mix_dynamic(state["phase"], x, state["omega_hi"],
+                               state["omega_lo"])
+        return {"phase": phase, "omega_hi": state["omega_hi"],
+                "omega_lo": state["omega_lo"]}, y

@@ -460,3 +460,27 @@ def test_bookmarks_roundtrip(tmp_path, server):
     assert code == 400
     # restore for other tests
     _post(base + "/api/control", {"action": "set_offset", "value": 100000.0})
+
+
+def test_set_offset_is_a_state_retune_not_a_rebuild(server):
+    """Dynamic-offset VFOs: click-to-tune updates a state scalar — the
+    jitted step must be REUSED (a re-jit costs seconds over a remote-TPU
+    link) and the tone must be recovered at the new offset."""
+    _, eng, base = server
+    _post(base + "/api/control", {"action": "set_offset", "value": 100000.0})
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)
+    step_before = eng._step
+    _post(base + "/api/control", {"action": "set_offset", "value": -250000.0})
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0 + 1)
+    assert eng._step is step_before, "offset change rebuilt the graph"
+    st = _get(base + "/api/state")
+    assert st["offset"] == -250000.0 and st["error"] is None
+    # retune back onto the test tone; NFM of an unmodulated carrier is
+    # near-silence but the chain must keep running
+    _post(base + "/api/control", {"action": "set_offset", "value": 100000.0})
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0 + 1)
+    assert eng._step is step_before
+    assert eng.snapshot()["error"] is None

@@ -91,6 +91,7 @@ class ReceiverEngine:
         self._ensure_audio_ring("vfo0")
 
         self.bookmarks = None  # FrequencyManager, see attach_bookmarks
+        self._scanner = None  # misc/scanner.Scanner while sweeping
         self._wf_total = 0  # monotonic count of FFT lines pushed
         self._controls: list[tuple[str, object]] = []
         self._stop = threading.Event()
@@ -280,7 +281,7 @@ class ReceiverEngine:
             return
         valid = {"set_offset", "set_mode", "set_bandwidth", "set_squelch",
                  "set_deemphasis", "set_rds", "add_vfo", "delete_vfo",
-                 "select_vfo"}
+                 "select_vfo", "scan_start", "scan_stop"}
         if action not in valid:
             raise ValueError(f"unknown action {action!r}")
         if action == "set_mode" and value not in MODES:
@@ -295,6 +296,16 @@ class ReceiverEngine:
                 #                       would kill every VFO's stream)
             if value is None and action == "set_offset":
                 raise ValueError("set_offset needs a number")
+        if action == "scan_start":
+            if not isinstance(value, dict):
+                raise ValueError("scan_start needs {start, stop, interval, "
+                                 "level?}")
+            value = dict(start=float(value["start"]),
+                         stop=float(value["stop"]),
+                         interval=float(value["interval"]),
+                         level=float(value.get("level", -50.0)))
+            if value["stop"] <= value["start"] or value["interval"] <= 0:
+                raise ValueError("need stop > start and interval > 0")
         if action == "add_vfo":
             if not isinstance(value, dict) or not value.get("name"):
                 raise ValueError("add_vfo needs {name, mode?, offset?}")
@@ -341,6 +352,17 @@ class ReceiverEngine:
                 if action == "select_vfo":
                     if value in self.vfos:
                         self.selected = str(value)
+                    continue
+                if action == "scan_start":
+                    from .scanner import Scanner
+
+                    self._scanner = Scanner(value["start"], value["stop"],
+                                            value["interval"],
+                                            level_db=value["level"])
+                    self._scanner.current = self.vfos[self.selected]["offset"]
+                    continue
+                if action == "scan_stop":
+                    self._scanner = None
                     continue
                 rebuild = True
                 if action == "set_mode":
@@ -429,6 +451,18 @@ class ReceiverEngine:
                     self._write_audio(name, pcm)
                 self.blocks += 1
                 self.samples += self._block
+            if self._scanner is not None and len(fft):
+                # the reference scanner's 10 Hz tick, driven per block:
+                # latest raw FFT line, offset-domain frequencies
+                with self.lock:
+                    bw = self._effective_bandwidth(self.selected)
+                    cur = self.vfos[self.selected]["offset"]
+                sc = self._scanner
+                sc.current = cur
+                target = sc.step(fft[-1], bw, 0.0, self.samplerate,
+                                 time.monotonic())
+                if target != cur:
+                    self.control("set_offset", target)
             if self.realtime:
                 sent += self._block / self.samplerate
                 lag = sent - (time.monotonic() - t_start)
@@ -543,6 +577,9 @@ class ReceiverEngine:
                 "view_bandwidth": wf.view_bandwidth,
                 "vfo_level": wf.vfo_level,
                 "vfo_snr": wf.vfo_snr,
+                "scanning": self._scanner is not None,
+                "scan_receiving": bool(self._scanner.receiving
+                                       if self._scanner else False),
                 "blocks": self.blocks,
                 "samples": self.samples,
                 "running": self._thread is not None
@@ -784,6 +821,7 @@ button{cursor:pointer} canvas{display:block;width:100%}
  <label>vol <input id="vol" type="range" min="0" max="100" value="100" style="width:90px"></label>
  <button id="audio">&#9654; audio</button>
  <button id="auto">auto range</button>
+ <button id="scan" title="sweep the visible span, stop on signals above the squelch level">scan</button>
  <label><input id="hold" type="checkbox"> hold</label>
  <label><input id="rds" type="checkbox"> RDS</label>
  <label>bm <select id="bmsel"><option value="">—</option></select></label>
@@ -814,6 +852,7 @@ async function getState(){st=await (await fetch('/api/state')).json();
  const rd=sel.rds_data;
  $('rdsinfo').textContent=rd?('RDS '+[rd.pi?('PI '+rd.pi):null,rd.ps_name,
   rd.callsign,rd.radio_text].filter(Boolean).join(' | ')):'';
+ $('scan').textContent=st.scanning?(st.scan_receiving?'⏹ receiving':'⏹ scanning'):'scan';
  $('err').textContent=st.error||'';}
 async function ctl(action,value){await fetch('/api/control',{method:'POST',body:JSON.stringify({action,value})});getState();}
 const spec=$('spec'),wf=$('wf');
@@ -881,6 +920,12 @@ $('bw').addEventListener('change',()=>ctl('set_bandwidth',+$('bw').value));
 $('sq').addEventListener('change',()=>ctl('set_squelch',+$('sq').value<=-100?null:+$('sq').value));
 $('vol').addEventListener('input',()=>ctl('set_volume',+$('vol').value/100));
 $('auto').addEventListener('click',()=>ctl('auto_range'));
+$('scan').addEventListener('click',()=>{if(!st)return;
+ if(st.scanning){ctl('scan_stop');$('scan').textContent='scan';return;}
+ const lo=st.view_offset-st.view_bandwidth/2,hi=st.view_offset+st.view_bandwidth/2;
+ ctl('scan_start',{start:lo,stop:hi,interval:st.bandwidth,
+  level:st.squelch!=null?st.squelch:-50});
+ $('scan').textContent='⏹ scanning';});
 $('hold').addEventListener('change',()=>ctl('set_fft_hold',$('hold').checked));
 $('rds').addEventListener('change',()=>ctl('set_rds',$('rds').checked));
 $('deemph').addEventListener('change',()=>ctl('set_deemphasis',$('deemph').value||null));

@@ -484,3 +484,34 @@ def test_set_offset_is_a_state_retune_not_a_rebuild(server):
     assert _wait(lambda: eng.blocks > blocks0 + 1)
     assert eng._step is step_before
     assert eng.snapshot()["error"] is None
+
+
+def test_scanner_parks_on_the_tone(server):
+    """The scanner sweeps the span and stops on the -20 dBFS test tone at
+    +100 kHz (reference misc_modules/scanner behavior over the web API)."""
+    _, eng, base = server
+    _post(base + "/api/control", {"action": "set_offset",
+                                  "value": -400000.0})
+    code, resp = _post(base + "/api/control",
+                       {"action": "scan_start",
+                        "value": {"start": -450000.0, "stop": 450000.0,
+                                  "interval": 25000.0, "level": -45.0}})
+    assert code == 200, resp
+    def parked():
+        if eng.error:
+            raise AssertionError(eng.error)
+        s = eng.snapshot()
+        return (s["scanning"] and s["scan_receiving"]
+                and abs(s["offset"] - 100000.0) < 26000.0)
+    assert _wait(parked, timeout=120.0), eng.snapshot()
+    code, _ = _post(base + "/api/control", {"action": "scan_stop"})
+    assert code == 200
+    blocks0 = eng.blocks
+    assert _wait(lambda: eng.blocks > blocks0)
+    assert not eng.snapshot()["scanning"]
+    # garbage rejected
+    code, _ = _post(base + "/api/control",
+                    {"action": "scan_start",
+                     "value": {"start": 10.0, "stop": 5.0, "interval": 1.0}})
+    assert code == 400
+    _post(base + "/api/control", {"action": "set_offset", "value": 100000.0})

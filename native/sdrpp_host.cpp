@@ -48,6 +48,10 @@ public:
 
     // Run fn(begin, end) over [0, n) in `grain`-sized chunks on the pool
     // plus the calling thread; serial when small or pool disabled.
+    // Dispatch is serialized: ctypes releases the GIL, so two Python
+    // threads (e.g. a Prefetcher conversion + a wire_quantize on the
+    // serve path) can reach here concurrently — the job descriptor is
+    // pool-global, so a second concurrent run() must wait its turn.
     void run(size_t n, size_t grain,
              const std::function<void(size_t, size_t)>& fn) {
         if (n == 0) return;
@@ -55,6 +59,7 @@ public:
             fn(0, n);
             return;
         }
+        std::lock_guard<std::mutex> dispatch_lk(dispatch_m_);
         {
             std::lock_guard<std::mutex> lk(m_);
             job_ = &fn;
@@ -112,6 +117,7 @@ private:
     }
 
     std::vector<std::thread> workers_;
+    std::mutex dispatch_m_;  // one run() in flight at a time
     std::mutex m_;
     std::condition_variable cv_, done_cv_;
     const std::function<void(size_t, size_t)>* job_ = nullptr;
@@ -231,6 +237,15 @@ size_t ring_read(RingBuffer* rb, float* iq, size_t n) {
 
 float wire_quantize_i8(const float* in, int8_t* out, size_t count) {
     const float maxv = parallel_max(in, count);
+    // All-zero (squelched silence) or non-finite block: 128/maxv would be
+    // inf and 0*inf = NaN garbage. Emit zeros with scaler 0 — dequantize
+    // of all-zero i8 with scaler 0 round-trips to exact zeros. A negative
+    // maxv (all-negative block, signed-max quirk) still round-trips via
+    // the negative scaler, so it is NOT guarded — reference parity.
+    if (maxv == 0.0f || !std::isfinite(maxv)) {
+        std::memset(out, 0, count * sizeof(int8_t));
+        return 0.0f;
+    }
     const float scale = 128.0f / maxv;
     parallel_for(count, kValueGrain, [&](size_t b, size_t e) {
         for (size_t i = b; i < e; i++) {
@@ -244,6 +259,10 @@ float wire_quantize_i8(const float* in, int8_t* out, size_t count) {
 
 float wire_quantize_i16(const float* in, int16_t* out, size_t count) {
     const float maxv = parallel_max(in, count);
+    if (maxv == 0.0f || !std::isfinite(maxv)) {
+        std::memset(out, 0, count * sizeof(int16_t));
+        return 0.0f;
+    }
     const float scale = 32768.0f / maxv;
     parallel_for(count, kValueGrain, [&](size_t b, size_t e) {
         for (size_t i = b; i < e; i++) {

@@ -670,7 +670,11 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _get_waterfall(self, url):
         qs = parse_qs(url.query)
-        since = int(qs.get("since", ["0"])[0])
+        try:
+            since = int(qs.get("since", ["0"])[0])
+        except ValueError:
+            self._json({"error": "bad 'since' parameter"}, 400)
+            return
         buf, counter = self.engine.read_waterfall_rows(since)
         self._bytes(buf.astype("<u4").tobytes(),
                     headers=[("X-Line", counter), ("X-Rows", len(buf)),

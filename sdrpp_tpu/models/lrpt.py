@@ -57,12 +57,27 @@ class LRPTDecoder:
         self.rs = ReedSolomon(RS_CCSDS, 112, 11, 32)
         self._rs_batch = jax.jit(jax.vmap(self.rs.decode))
 
-    def viterbi(self, soft_u8: np.ndarray) -> np.ndarray:
+    def viterbi(self, soft_u8: np.ndarray,
+                chunk_bits: int = 4096,
+                overlap_bits: int = 96) -> np.ndarray:
+        """Viterbi-decode a coded soft-bit stream to packed bytes.
+
+        Uses the chunk-parallel truncated decode (overlapping warm-up
+        windows batched in VPU sublanes): with the default 96-bit overlap
+        (~14 constraint lengths for K=7) the output can differ from the
+        exact libcorrect decode near chunk seams only at very low SNR.
+        Weak-signal users can trade speed for exactness: raise
+        ``overlap_bits`` (seam-error probability falls exponentially), or
+        set ``SDRPP_TPU_VITERBI=scan`` to force the exact full-trellis
+        decode (what the reference's libcorrect always does).
+        """
         from .. import ops
 
         # pass the u8 symbols through unchanged: the stream decoder ships
         # integral soft bits as uint8 (4x cheaper host->device upload)
-        bits = self.conv.decode_soft_stream(np.asarray(soft_u8))
+        bits = self.conv.decode_soft_stream(np.asarray(soft_u8),
+                                            chunk_bits=chunk_bits,
+                                            overlap_bits=overlap_bits)
         n = (len(bits) // 8) * 8
         return ops.fec._bytes_from_bits(bits[:n])
 

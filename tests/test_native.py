@@ -76,6 +76,21 @@ def test_wire_codec_matches_python():
     np.testing.assert_array_equal(q8, ref8)
 
 
+def test_wire_codec_all_zero_block():
+    """Squelched silence (all-zero block) must quantize to zeros with a
+    zero scaler and round-trip to exact zeros — not NaN garbage from a
+    divide-by-zero scale."""
+    z = np.zeros(1024, np.complex64)
+    for quant, dequant in [(native.wire_quantize_i8, native.wire_dequantize_i8),
+                           (native.wire_quantize_i16, native.wire_dequantize_i16)]:
+        q, s = quant(z)
+        assert s == 0.0
+        assert not np.any(q)
+        back = dequant(q, s)
+        np.testing.assert_array_equal(back.view(np.float32),
+                                      np.zeros(2048, np.float32))
+
+
 def test_pool_parallel_loops_match_serial():
     """The fork-join pool (host_pool_threads) must not change results:
     large blocks (parallel) == small blocks (serial path) == python oracle,

@@ -1,20 +1,39 @@
-"""Headline benchmark: aggregate IQ throughput through mix + FIR + demod.
+"""Headline benchmark: wideband IQ through a FULL receive chain, end-to-end.
 
-BASELINE north star: Gsamples/s of IQ through the full
-mix -> decimating-FIR cascade -> demodulate chain, scaled by the VFO-bank
-channel axis (the reference's per-VFO thread chains become one batched
-computation; SURVEY.md §2.15). This runs a 64-channel NFM scanner bank on a
-wideband block and reports aggregate input-samples/s (channels x input
-rate) — the metric the "1 Gsample/s on a v5p-16 slice" target is defined
-over (BASELINE.md).
+Two configs, one chip, one JSON line:
+
+1. WIDEBAND (the headline ``value``): a 1.572864 Gsps synthetic wideband
+   block through the complete receive chain — power-of-2 decimation
+   cascade (/256, the IQFrontEnd preprocessor role,
+   core/src/signal_path/iq_frontend.cpp:230-249) -> 64-channel shared-FFT
+   channelizer (the RxVFO bank, rx_vfo.h:102-114) -> quadrature NFM
+   demod -> per-channel audio FIR. ``value`` = INPUT-samples/s consumed
+   by the whole chain: every input sample passes through every stage, so
+   this is the unambiguous "aggregate IQ throughput through
+   mix + FIR + demod" of the BASELINE north star (>= 1 Gsample/s on a
+   v5p-16 slice) with no channels-x-rate arithmetic.
+
+2. AGGREGATE (reported in ``unit``): the round-1 metric — the same
+   64-channel NFM bank at 6.144 Msps, counting channels x input-rate
+   (the per-VFO thread chains of the reference become one batched
+   computation; SURVEY.md §2.15).
 
 Timing note: on the axon TPU tunnel, block_until_ready returns at dispatch;
 real synchronization = reading back a jit output. The harness times N
 serially-dependent steps, syncs once via a tiny f32 checksum output, and
 subtracts the sync overhead with a 1-iteration run (see
-sdrpp_tpu/utils/speed_tester.py). A known-FLOPs matmul calibration guards
-against broken sync; if it reports an implausible rate the benchmark
-aborts rather than print a bogus number.
+sdrpp_tpu/utils/speed_tester.py). A known-FLOPs matmul calibration
+(precision pinned to HIGHEST = true f32) guards against broken sync; if it
+reports an implausible rate the benchmark aborts rather than print a bogus
+number.
+
+Anti-inflation: the checksum reduces over the ENTIRE audio output (a
+partial slice lets XLA dead-code-eliminate the chain body), and each scan
+iteration's input is salted with the carried checksum so stateless
+sub-chains cannot be loop-hoisted. The wideband input is built in-graph by
+tiling an uploaded random base block (the tunnel cannot upload the full
+block cheaply; a tile + salt is a pure HBM copy that does not skip any
+chain compute).
 
 Resilience: the axon tunnel is intermittently flaky (spurious
 UNIMPLEMENTED on execute/readback, multi-minute first-sync latency,
@@ -24,8 +43,8 @@ in a subprocess so the driver ALWAYS gets a measured JSON line, with the
 reason recorded in the unit string.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline = fraction of the 1 Gsample/s aggregate target this ONE chip
-delivers.
+vs_baseline = fraction of the 1 Gsample/s target the wideband chain
+delivers on ONE chip.
 """
 
 import contextlib
@@ -36,12 +55,19 @@ import time
 
 import numpy as np
 
+CHANNELS = 64
+IF_RATE = 48000.0
+BANDWIDTH = 12500.0
+FS_MID = 6144000.0            # channelizer input rate (R = 128)
+PRE_DECIM = 256               # wideband front decimation
+FS_WIDE = FS_MID * PRE_DECIM  # 1.572864 Gsps
+
 
 def _fail(reason: str):
     print(json.dumps({
-        "metric": "aggregate_iq_mix_fir_demod_throughput",
+        "metric": "wideband_e2e_iq_input_throughput",
         "value": 0.0,
-        "unit": f"samples/s/chip ({reason})",
+        "unit": f"input-samples/s/chip ({reason})",
         "vs_baseline": 0.0,
     }))
 
@@ -60,45 +86,109 @@ def _deadline(seconds: int):
         signal.signal(signal.SIGALRM, old)
 
 
-def _attempt(use_cpu: bool) -> dict:
-    """One full benchmark attempt. Raises on backend failure."""
-    import jax
+def _make_bank():
+    """The 64-channel NFM scanner bank (BASELINE config #4's chain)."""
     import jax.numpy as jnp
 
     from sdrpp_tpu.ops.channelizer import FFTChannelizerBank
     from sdrpp_tpu.ops.fm import Quadrature
     from sdrpp_tpu.ops.fir import FIR
     from sdrpp_tpu.ops import taps as taps_mod
-    from sdrpp_tpu.utils.speed_tester import calibrate_sync
 
-    channels = 64
-    fs_in = 6144000.0
-    if_rate = 48000.0
-    bandwidth = 12500.0
-
-    offsets = np.linspace(-fs_in * 0.4, fs_in * 0.4, channels)
+    offsets = np.linspace(-FS_MID * 0.4, FS_MID * 0.4, CHANNELS)
     # shared-FFT channelizer (SURVEY §2.5 TPU plan): one wideband FFT +
     # per-channel pruned frequency-domain mix/filter/decimate — verified
     # against the time-domain mix -> FIR -> decimate oracle to 5e-5
-    # (tests/test_channelizer.py) and 4.7x faster than the time-domain
-    # VFOBank on the chip (25.0 vs 5.4 Gsamp/s aggregate).
-    vfo = FFTChannelizerBank(offsets, fs_in, if_rate, bandwidth=bandwidth)
-    demod = Quadrature(bandwidth / 2.0, if_rate, lead_shape=(channels,))
-    audio_taps = taps_mod.low_pass(bandwidth / 2.0, bandwidth * 0.05, if_rate)
-    audio_fir = FIR(audio_taps, dtype=jnp.float32, lead_shape=(channels,))
+    # (tests/test_channelizer.py).
+    vfo = FFTChannelizerBank(offsets, FS_MID, IF_RATE, bandwidth=BANDWIDTH)
+    demod = Quadrature(BANDWIDTH / 2.0, IF_RATE, lead_shape=(CHANNELS,))
+    audio_taps = taps_mod.low_pass(BANDWIDTH / 2.0, BANDWIDTH * 0.05, IF_RATE)
+    audio_fir = FIR(audio_taps, dtype=jnp.float32, lead_shape=(CHANNELS,))
+    return vfo, demod, audio_fir
 
-    n = 1 << 18  # input block (multiple of the 128x decimation)
+
+def _measure(step, make_state, x, iters: int) -> float:
+    """Seconds per step: (T_N - T_1)/(N - 1) with a compile/warm run."""
+    state = make_state()
+
+    def run(k):
+        t0 = time.perf_counter()
+        st = state
+        for _ in range(k):
+            st, c = step(st, x)
+        float(c)  # true sync (jit-output readback)
+        return time.perf_counter() - t0
+
+    run(1)  # compile + warm + prove the chain executes end-to-end
+    t1 = run(1)
+    tn = run(iters)
+    return max((tn - t1) / (iters - 1), 1e-9)
+
+
+def _bench_wideband(use_cpu: bool) -> float:
+    """Input-samples/s of the FULL chain: /256 decim -> bank -> demod."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdrpp_tpu.ops.resample import PowerDecimator
+
+    pre = PowerDecimator(PRE_DECIM)
+    vfo, demod, audio_fir = _make_bank()
+
+    # 2^24 wideband samples per chain block (2^22 on CPU to keep the
+    # fallback path inside its deadline); K blocks inside ONE jit.
+    n = 1 << (22 if use_cpu else 24)
+    tile = 1 if use_cpu else 4
+    n_base = n // tile
+    assert (n // PRE_DECIM) % vfo.block_multiple == 0
+    K = 4 if use_cpu else 8
+
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.standard_normal((2, n_base)).astype(np.float32))
+
+    @jax.jit
+    def step(state, xb):
+        def body(carry, _):
+            st, salt = carry
+            # in-graph wideband block: tile the uploaded base (pure HBM
+            # copy; chain compute untouched) + carried-checksum salt so
+            # no iteration is loop-invariant
+            x = jnp.tile(xb, (1, tile)) + salt
+            x = jax.lax.complex(x[0], x[1])
+            ps, x = pre(st[0], x)
+            vs, y = vfo(st[1], x)
+            qs, y = demod(st[2], y)
+            fs, y = audio_fir(st[3], y)
+            c = jnp.sum(y.astype(jnp.float32))
+            return ((ps, vs, qs, fs), c * np.float32(1e-20)), c
+
+        (state, _), cs = jax.lax.scan(body, (state, jnp.float32(0.0)),
+                                      None, length=K)
+        return state, jnp.sum(cs)
+
+    make_state = jax.jit(lambda: (pre.init_state(), vfo.init_state(),
+                                  demod.init_state(),
+                                  audio_fir.init_state()))
+    per_step = _measure(step, make_state, base,
+                        iters=8 if use_cpu else 16)
+    return K * n / per_step
+
+
+def _bench_aggregate(use_cpu: bool) -> float:
+    """The round-1 metric: channels x input-rate through the bank."""
+    import jax
+    import jax.numpy as jnp
+
+    vfo, demod, audio_fir = _make_bank()
+    n = 1 << 18
     assert n % vfo.block_multiple == 0
-
-    # IQ crosses the host->device boundary as split float32: the axon
-    # tunnel cannot transfer complex64 in either direction (device_put and
-    # readback both raise UNIMPLEMENTED), while complex math INSIDE a jit
-    # is fully supported — so the complex view is formed in-graph.
-    # K chain blocks run inside ONE jit via lax.scan: the tunnel adds
-    # 5-30 ms of dispatch latency per executable launch, which would
-    # otherwise dominate the measurement (the on-chip time per block is
-    # well under a millisecond).
     K = 8
+
+    rng = np.random.default_rng(0)
+    # IQ crosses the host->device boundary as split float32: the axon
+    # tunnel cannot transfer complex64 in either direction, while complex
+    # math INSIDE a jit is fully supported.
+    x = jnp.asarray(rng.standard_normal((K, 2, n)).astype(np.float32))
 
     @jax.jit
     def step(state, xk):
@@ -108,48 +198,39 @@ def _attempt(use_cpu: bool) -> dict:
             qs, y = demod(st[1], y)
             fs, y = audio_fir(st[2], y)
             # full reduction: a partial slice would let XLA dead-code-
-            # eliminate most of the chain (states only need tail windows)
+            # eliminate most of the chain
             return (vs, qs, fs), jnp.sum(y.astype(jnp.float32))
 
         state, sums = jax.lax.scan(body, state, xk)
         return state, jnp.sum(sums)
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((K, 2, n)).astype(np.float32))
+    make_state = jax.jit(lambda: (vfo.init_state(), demod.init_state(),
+                                  audio_fir.init_state()))
+    per_step = _measure(step, make_state, x, iters=16)
+    return K * CHANNELS * n / per_step
 
-    make_state = jax.jit(lambda d: (vfo.init_state(), demod.init_state(),
-                                    audio_fir.init_state()))
-    state = make_state(np.float32(0))
 
-    def run(iters):
-        t0 = time.perf_counter()
-        st = state
-        for _ in range(iters):
-            st, c = step(st, x)
-        float(c)  # true sync (jit-output readback)
-        return time.perf_counter() - t0
+def _attempt(use_cpu: bool) -> dict:
+    """One full benchmark attempt. Raises on backend failure."""
+    from sdrpp_tpu.utils.speed_tester import calibrate_sync
 
-    run(1)  # compile + warm + prove the chain executes end-to-end
-    # Only now calibrate the timing harness (known-FLOPs matmul).
+    wideband = _bench_wideband(use_cpu)
+    # Only now calibrate the timing harness (known-FLOPs f32 matmul).
     cal = calibrate_sync(size=1024 if use_cpu else 2048, iters=8)
     if not cal["plausible"]:
         raise RuntimeError(
             f"timing harness failed calibration "
             f"({cal['tflops']:.2e} TFLOP/s, {cal['matmul_ms']:.4f} ms)")
-    t1 = run(1)
-    iters = 16
-    tn = run(iters)
-    per_iter = max((tn - t1) / (iters - 1), 1e-9)
-    return {"aggregate": K * channels * n / per_iter, "cal": cal}
+    aggregate = _bench_aggregate(use_cpu)
+    return {"wideband": wideband, "aggregate": aggregate, "cal": cal}
 
 
 def main():
     import os
 
     # The fused bank chain measures fastest with the direct (lax.conv/MXU)
-    # FIR path on TPU (3.10 Gsamp/s vs 1.48 with overlap-save in the same
-    # chain), while isolated long 1-D FIRs prefer fft — pin direct here,
-    # leave the library default alone elsewhere.
+    # FIR path on TPU, while isolated long 1-D FIRs prefer fft — pin
+    # direct here, leave the library default alone elsewhere.
     os.environ.setdefault("SDRPP_TPU_FIR", "direct")
     use_cpu = "--cpu" in sys.argv
     import jax
@@ -166,7 +247,7 @@ def main():
             _fail(reason)
             return
         out = subprocess.run([sys.executable, __file__, "--cpu"],
-                             capture_output=True, text=True, timeout=900)
+                             capture_output=True, text=True, timeout=1200)
         line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
         try:
             d = json.loads(line)
@@ -180,7 +261,7 @@ def main():
     attempts = 1 if use_cpu else 3
     for attempt in range(attempts):
         try:
-            with _deadline(900):
+            with _deadline(1200):
                 result = _attempt(use_cpu)
             break
         except TimeoutError:
@@ -193,15 +274,18 @@ def main():
         _cpu_fallback(reason)
         return
 
-    aggregate = result["aggregate"]
     cal = result["cal"]
-    target = 1e9
     print(json.dumps({
-        "metric": "aggregate_iq_mix_fir_demod_throughput",
-        "value": aggregate,
-        "unit": "samples/s/chip (64-ch NFM bank via shared-FFT channelizer, input-samples x channels; "
-                f"sync-calibrated {cal['tflops']:.1f} TFLOP/s matmul)",
-        "vs_baseline": aggregate / target,
+        "metric": "wideband_e2e_iq_input_throughput",
+        "value": result["wideband"],
+        "unit": ("input-samples/s/chip through the FULL chain "
+                 f"({FS_WIDE / 1e9:.2f} Gsps wideband -> /{PRE_DECIM} decim "
+                 f"cascade -> {CHANNELS}-ch shared-FFT channelizer -> NFM "
+                 "demod -> audio FIR; every input sample traverses every "
+                 f"stage; 64-ch bank aggregate metric: "
+                 f"{result['aggregate'] / 1e9:.2f} Gsamp/s; sync-calibrated "
+                 f"{cal['tflops']:.1f} TFLOP/s true-f32 matmul)"),
+        "vs_baseline": result["wideband"] / 1e9,
     }))
 
 

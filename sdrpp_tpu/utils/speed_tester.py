@@ -131,7 +131,12 @@ def calibrate_sync(size: int = 2048, iters: int = 16) -> dict:
 
     @jax.jit
     def mm(state, x):
-        y = state @ x
+        # Precision is PINNED: XLA's DEFAULT f32 matmul on TPU lowers to
+        # bf16 MXU passes, which reads ~2.5x the true-f32 rate and made
+        # round-1 reports disagree (184 vs 69-79 TFLOP/s for the same
+        # probe). HIGHEST = full f32 accumulation, so the FLOP count in
+        # the TFLOP/s formula matches what the chip actually executes.
+        y = jnp.matmul(state, x, precision=jax.lax.Precision.HIGHEST)
         # full-reduction checksum: the carried state already forces every
         # matmul, the sum keeps the per-iteration output alive too
         return y, jnp.sum(y)
@@ -148,10 +153,13 @@ def calibrate_sync(size: int = 2048, iters: int = 16) -> dict:
     tflops = 2 * size**3 / per_iter / 1e12
     # The failure mode this guards is sync-not-working (dispatch returns
     # before execution), which reads as absurdly HIGH TFLOP/s; a low
-    # reading is just a slow/loaded backend, still a valid clock. 500
-    # TFLOP/s f32 is beyond any current single chip.
+    # reading is just a slow/loaded backend, still a valid clock. With
+    # precision pinned to HIGHEST (true f32: 3-6 bf16 passes on the MXU),
+    # no current single TPU chip exceeds ~155 TFLOP/s f32 (v5p bf16 peak
+    # 459 / 3 passes); 200 leaves headroom without hiding a 2.5x
+    # precision-induced inflation like the round-1 184-vs-73 discrepancy.
     return {"matmul_ms": per_iter * 1e3, "tflops": tflops, "iters": iters,
-            "plausible": 0.02 < tflops < 500.0}
+            "plausible": 0.02 < tflops < 200.0}
 
 
 def report_table(results: dict[str, dict]) -> str:

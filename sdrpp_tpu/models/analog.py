@@ -22,7 +22,11 @@ from ..ops.fm import Quadrature
 from ..ops.mix import FrequencyXlator, hz_to_rads
 from ..ops.resample import RationalResampler
 from ..ops.scans import DCBlocker
-from ..ops.scans_pallas import AGCPallas as AGC, PLLPallas as PLL
+# Chunked variants: exact Pallas/lax.scan recurrences for short blocks,
+# lane-parallel approximate loops (documented warm-up contract, see
+# ops/scans_pallas.py) for the long 1-D blocks of the high-rate bench
+# paths. SDRPP_TPU_LOOPS=exact disables the approximation globally.
+from ..ops.scans_pallas import AGCChunked as AGC, PLLChunked as PLL
 from ..utils.blocks import Block
 
 __all__ = ["AMDemod", "SSBDemod", "CWDemod", "NFMDemod", "WFMDemod"]

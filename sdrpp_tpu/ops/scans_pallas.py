@@ -36,6 +36,8 @@ pin exact equivalence.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -44,9 +46,14 @@ from .scans import AGC, FL_PI, PLL, Costas, FastAGC
 
 __all__ = ["pll_phases_pallas", "fast_agc_gains_pallas", "agc_gains_pallas",
            "costas_phases_pallas", "PLLPallas", "FastAGCPallas", "AGCPallas",
-           "CostasPallas"]
+           "CostasPallas", "pll_phases_chunked", "fast_agc_gains_chunked",
+           "agc_gains_chunked", "PLLChunked", "FastAGCChunked", "AGCChunked"]
 
 _CHUNK = 8192  # samples per pallas_call (f32: 32 KB per SMEM stream)
+
+# 'auto' = chunk-parallel approximate loops on TPU for long 1-D blocks;
+# 'exact' = always the exact sequential recurrence.
+LOOPS_MODE = os.environ.get("SDRPP_TPU_LOOPS", "auto")
 
 
 def _pallas_on_tpu() -> bool:
@@ -217,14 +224,9 @@ def _dispatch_scan_call(make_body, state, streams, interpret: bool):
             fin.reshape(state.shape[0], *lead))
 
 
-def pll_phases_pallas(in_phases: jax.Array, phase0, freq0, alpha, beta,
-                      min_freq, max_freq, interpret: bool = False):
-    """Sequential PLL phase recurrence -> (out_phases, phase_f, freq_f).
-
-    out_phases[t] is the VCO phase BEFORE consuming in_phases[t]
-    (reference pll.h:64-70 ordering).
-    """
-    n = in_phases.shape[0]
+def _pll_make_body(alpha, beta, min_freq, max_freq):
+    """Kernel body factory for the PLL recurrence (shared by the exact
+    scalar/lane drivers and the chunk-parallel driver)."""
     alpha = np.float32(alpha)
     beta = np.float32(beta)
     min_freq = np.float32(min_freq)
@@ -252,6 +254,17 @@ def pll_phases_pallas(in_phases: jax.Array, phase0, freq0, alpha, beta,
 
         return body
 
+    return make_body
+
+
+def pll_phases_pallas(in_phases: jax.Array, phase0, freq0, alpha, beta,
+                      min_freq, max_freq, interpret: bool = False):
+    """Sequential PLL phase recurrence -> (out_phases, phase_f, freq_f).
+
+    out_phases[t] is the VCO phase BEFORE consuming in_phases[t]
+    (reference pll.h:64-70 ordering).
+    """
+    make_body = _pll_make_body(alpha, beta, min_freq, max_freq)
     state = jnp.stack([jnp.asarray(phase0, jnp.float32),
                        jnp.asarray(freq0, jnp.float32)])
     out, fin = _dispatch_scan_call(make_body, state,
@@ -259,10 +272,7 @@ def pll_phases_pallas(in_phases: jax.Array, phase0, freq0, alpha, beta,
     return out, fin[0], fin[1]
 
 
-def fast_agc_gains_pallas(amps: jax.Array, gain0, set_point, max_gain, rate,
-                          interpret: bool = False):
-    """FastAGC gain recurrence -> (gains[t], gain_f); out = x * gains."""
-    n = amps.shape[0]
+def _fast_agc_make_body(set_point, max_gain, rate):
     set_point = np.float32(set_point)
     max_gain = np.float32(max_gain)
     rate = np.float32(rate)
@@ -279,6 +289,13 @@ def fast_agc_gains_pallas(amps: jax.Array, gain0, set_point, max_gain, rate,
 
         return body
 
+    return make_body
+
+
+def fast_agc_gains_pallas(amps: jax.Array, gain0, set_point, max_gain, rate,
+                          interpret: bool = False):
+    """FastAGC gain recurrence -> (gains[t], gain_f); out = x * gains."""
+    make_body = _fast_agc_make_body(set_point, max_gain, rate)
     state = jnp.stack([jnp.asarray(gain0, jnp.float32)])
     out, fin = _dispatch_scan_call(make_body, state,
                                    [amps.astype(jnp.float32)], interpret)
@@ -380,14 +397,7 @@ def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
     return out, fin[0], fin[1]
 
 
-def agc_gains_pallas(amps: jax.Array, suffix_max: jax.Array, amp0, gain0,
-                     set_point, attack, decay, max_gain, max_output_amp,
-                     interpret: bool = False):
-    """Full AGC gain recurrence (ops/scans.AGC enabled branch) -> gains.
-
-    ``suffix_max`` is the precomputed look-ahead clip table (reverse cummax
-    of amps — vectorized outside the kernel)."""
-    n = amps.shape[0]
+def _agc_make_body(set_point, attack, decay, max_gain, max_output_amp):
     set_point = np.float32(set_point)
     attack = np.float32(attack)
     inv_attack = np.float32(1.0) - attack
@@ -418,6 +428,18 @@ def agc_gains_pallas(amps: jax.Array, suffix_max: jax.Array, amp0, gain0,
 
         return body
 
+    return make_body
+
+
+def agc_gains_pallas(amps: jax.Array, suffix_max: jax.Array, amp0, gain0,
+                     set_point, attack, decay, max_gain, max_output_amp,
+                     interpret: bool = False):
+    """Full AGC gain recurrence (ops/scans.AGC enabled branch) -> gains.
+
+    ``suffix_max`` is the precomputed look-ahead clip table (reverse cummax
+    of amps — vectorized outside the kernel)."""
+    make_body = _agc_make_body(set_point, attack, decay, max_gain,
+                               max_output_amp)
     state = jnp.stack([jnp.asarray(amp0, jnp.float32),
                        jnp.asarray(gain0, jnp.float32)])
     out, fin = _dispatch_scan_call(
@@ -501,3 +523,281 @@ class AGCPallas(AGC):
             interpret=self.interpret)
         y = x * gains.astype(x.dtype) if jnp.iscomplexobj(x) else x * gains
         return {"amp": amp_f, "gain": gain_f}, y
+
+
+# ---------------------------------------------------------------------------
+# Chunk-parallel approximate loop drivers (the stream-Viterbi trick)
+# ---------------------------------------------------------------------------
+#
+# The exact recurrences above are sequential: one chip does ~8-13 Msamp/s
+# per channel no matter how wide the VPU is. But a critically-damped loop
+# *forgets* its initial condition at a rate set by its bandwidth (the
+# 2nd-order error dynamics are contracting), and an AGC forgets at its
+# attack/decay rate. So — exactly like ops/fec_pallas.decode_soft_stream's
+# overlapping-window Viterbi — the stream can be cut into K lanes that each
+# re-acquire over a W-sample warm-up window before emitting their payload,
+# and the K lanes run batched in the VPU lanes of the SAME kernel bodies
+# via _lane_scan_call. Convergence is helped by seeding each lane near
+# lock: zero initial phase error + the warm-up's mean phase increment as
+# frequency (PLL), or the warm-up's mean amplitude (AGC).
+#
+# Approximation contract (tests/test_scans_chunked.py pins it): once
+# W >> 1/bandwidth (PLL) or W >> 1/attack_rate (AGC), payload outputs match
+# the exact scan to float32 noise on locked signals; block carries hand the
+# last W raw inputs forward so lane 0 of the next block warms up on real
+# history. SDRPP_TPU_LOOPS=exact restores the exact path everywhere.
+#
+# Costas deliberately has NO chunked variant: an order-N Costas loop has N
+# indistinguishable lock points (costas.h's error is invariant under
+# k*2pi/N rotations), so independent lanes can each converge to a
+# DIFFERENT constellation rotation — harmless within a lane and through a
+# differential decoder, but a hard discontinuity at every seam, which the
+# reference's single sequential loop never produces. The PLL is
+# unambiguous (it tracks an explicit carrier/pilot) and the AGCs have a
+# unique fixed point, so only those chunk safely.
+
+
+def _lane_slice(ext, K, L, W):
+    """[W + K*L] extended stream -> [K, W+L] overlapping lanes (lane j =
+    ext[j*L : j*L + W + L]) using two reshapes, no gather. Needs W <= L."""
+    warm = ext[:K * L].reshape(K, L)[:, :W]
+    return jnp.concatenate([warm, ext[W:].reshape(K, L)], axis=1)
+
+
+def _build_lanes(streams, hists, K):
+    """Cut [n] streams into K overlapping lanes [K, W+L] with W-sample
+    warm-up windows drawn from the stream itself (lane 0's from ``hists``,
+    the previous block's tail). Payloads are padded to K*L by replicating
+    the last sample (a constant tail keeps a locked loop locked).
+    Returns (lanes, L, pad)."""
+    W = hists[0].shape[0]
+    n = streams[0].shape[0]
+    L = -(-n // K)
+    pad = K * L - n
+    assert W <= L, (W, L)
+    lanes = []
+    for s, h in zip(streams, hists):
+        s = s.astype(jnp.float32)
+        if pad:
+            s = jnp.concatenate([s, jnp.broadcast_to(s[-1], (pad,))])
+        ext = jnp.concatenate([h.astype(jnp.float32), s])
+        lanes.append(_lane_slice(ext, K, L, W))
+    return lanes, L, pad
+
+
+def _run_lanes(make_body, state, lanes, interpret):
+    """Run the recurrence over [K, W+L] lanes (time-major in the kernel).
+    ``state``: [k, K] per-lane seeds. Returns ([K, W+L] out, [k, K] fin)."""
+    tm = [jnp.swapaxes(l, 0, 1) for l in lanes]
+    out, fin = _lane_scan_call(make_body, state, tm, tm[0].shape[0], interpret)
+    return jnp.swapaxes(out, 0, 1), fin
+
+
+def pll_phases_chunked(in_phases: jax.Array, hist: jax.Array, alpha, beta,
+                       min_freq, max_freq, lanes_k: int = 128,
+                       interpret: bool = False):
+    """Chunk-parallel PLL phase recurrence over K lanes.
+
+    ``hist``: the previous block's last W input phases (W = warm-up).
+    Seeds: per-lane phase = first warm-up input (zero initial phase
+    error), per-lane freq = mean normalized warm-up phase increment
+    clipped to the loop's frequency limits — near-lock immediately for a
+    tone tracker like the WFM pilot PLL (broadcast_fm.h:77-83 semantics).
+    Returns (out_phases [n], new_hist [W], phase_f, freq_f).
+    """
+    n = in_phases.shape[0]
+    W = hist.shape[0]
+    lanes, L, _ = _build_lanes([in_phases], [hist], lanes_k)
+    lane = lanes[0]
+    two_pi = np.float32(2.0) * FL_PI
+    d = lane[:, 1:W + 1] - lane[:, :W]
+    d = jnp.where(d > FL_PI, d - two_pi, d)
+    d = jnp.where(d <= -FL_PI, d + two_pi, d)
+    seed_phase = lane[:, 0]
+    seed_freq = jnp.clip(jnp.mean(d, axis=1), np.float32(min_freq),
+                         np.float32(max_freq))
+    state = jnp.stack([seed_phase, seed_freq])
+    out, fin = _run_lanes(_pll_make_body(alpha, beta, min_freq, max_freq),
+                          state, lanes, interpret)
+    out = out[:, W:].reshape(lanes_k * L)[:n]
+    new_hist = in_phases[n - W:].astype(jnp.float32)
+    return out, new_hist, fin[0, -1], fin[1, -1]
+
+
+def fast_agc_gains_chunked(amps: jax.Array, hist: jax.Array, set_point,
+                           max_gain, rate, lanes_k: int = 128,
+                           interpret: bool = False):
+    """Chunk-parallel FastAGC gain recurrence. Seeds each lane at the
+    steady-state gain for its warm-up window's mean amplitude.
+    Returns (gains [n], new_hist [W], gain_f)."""
+    n = amps.shape[0]
+    W = hist.shape[0]
+    lanes, L, _ = _build_lanes([amps], [hist], lanes_k)
+    a = lanes[0]
+    mean_amp = jnp.mean(a[:, :W], axis=1)
+    seed_gain = jnp.where(mean_amp > 0,
+                          jnp.minimum(np.float32(set_point) / mean_amp,
+                                      np.float32(max_gain)),
+                          np.float32(1.0))
+    state = seed_gain[None, :]
+    out, fin = _run_lanes(_fast_agc_make_body(set_point, max_gain, rate),
+                          state, lanes, interpret)
+    out = out[:, W:].reshape(lanes_k * L)[:n]
+    new_hist = amps[n - W:].astype(jnp.float32)
+    return out, new_hist, fin[0, -1]
+
+
+def agc_gains_chunked(amps: jax.Array, hist: jax.Array, set_point, attack,
+                      decay, max_gain, max_output_amp, lanes_k: int = 128,
+                      interpret: bool = False):
+    """Chunk-parallel full-AGC gain recurrence (look-ahead clip kept: the
+    suffix max is computed over the whole extended block and lane-sliced,
+    so every lane sees the same look-ahead table as the exact scan).
+    Seeds each lane with its warm-up window's mean amplitude.
+    Returns (gains [n], new_hist [W], amp_f, gain_f)."""
+    n = amps.shape[0]
+    W = hist.shape[0]
+    K = lanes_k
+    L = -(-n // K)
+    pad = K * L - n
+    assert W <= L, (W, L)
+    s = amps.astype(jnp.float32)
+    if pad:
+        s = jnp.concatenate([s, jnp.broadcast_to(s[-1], (pad,))])
+    ext = jnp.concatenate([hist.astype(jnp.float32), s])
+    sfx = jnp.flip(jax.lax.cummax(jnp.flip(ext)), -1)
+    lane_a = _lane_slice(ext, K, L, W)
+    lane_s = _lane_slice(sfx, K, L, W)
+    mean_amp = jnp.mean(lane_a[:, :W], axis=1)
+    seed_amp = jnp.where(mean_amp > 0, mean_amp, np.float32(1.0))
+    seed_gain = jnp.minimum(np.float32(set_point) / seed_amp,
+                            np.float32(max_gain))
+    state = jnp.stack([seed_amp, seed_gain])
+    out, fin = _run_lanes(
+        _agc_make_body(set_point, attack, decay, max_gain, max_output_amp),
+        state, [lane_a, lane_s], interpret)
+    out = out[:, W:].reshape(K * L)[:n]
+    new_hist = amps[n - W:].astype(jnp.float32)
+    return out, new_hist, fin[0, -1], fin[1, -1]
+
+
+def _chunk_lanes_for(n: int, warmup: int, max_lanes: int) -> int:
+    """Largest multiple-of-128 lane count with payloads >= 2x warm-up
+    (bounding warm-up overhead at 33%); 0 = don't chunk."""
+    if LOOPS_MODE == "exact" or warmup <= 0:
+        return 0
+    k = min(max_lanes, n // (2 * warmup))
+    return (k // 128) * 128
+
+
+class PLLChunked(PLLPallas):
+    """PLL that runs chunk-parallel on TPU for long 1-D blocks, the exact
+    Pallas/lax.scan recurrence otherwise. State grows a ``hist`` buffer of
+    the last ``warmup`` input phases so lane 0 warms up on real history."""
+
+    def __init__(self, *args, warmup: int = 512, max_lanes: int = 512,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.warmup = int(warmup)
+        self.max_lanes = int(max_lanes)
+
+    def init_state(self):
+        st = super().init_state()
+        # synthetic history: the input phases a locked loop at
+        # (init_phase, init_freq) would have seen, so lane 0's first-block
+        # warm-up reproduces the exact loop's configured start state
+        two_pi = np.float32(2.0) * FL_PI
+        t = jnp.arange(self.warmup, dtype=jnp.float32) - np.float32(self.warmup)
+        ramp = self.init_phase + self.init_freq * t
+        ramp = jnp.mod(ramp + FL_PI, two_pi) - FL_PI
+        ramp = jnp.where(ramp <= -FL_PI, ramp + two_pi, ramp)
+        st["hist"] = jnp.broadcast_to(ramp, (*self.lead_shape, self.warmup))
+        return st
+
+    def __call__(self, state, x):
+        in_phase = jnp.arctan2(x.imag, x.real)
+        k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes)
+        if x.ndim != 1 or k < 128 or \
+                (not self.interpret and not _pallas_on_tpu()):
+            sub = {"phase": state["phase"], "freq": state["freq"]}
+            sub, y = PLLPallas.__call__(self, sub, x)
+            hist = jnp.concatenate([state["hist"], in_phase],
+                                   axis=-1)[..., -self.warmup:]
+            return {**sub, "hist": hist}, y
+        out_phases, hist, phase_f, freq_f = pll_phases_chunked(
+            in_phase, state["hist"], self.alpha, self.beta, self.min_freq,
+            self.max_freq, lanes_k=k, interpret=self.interpret)
+        y = jax.lax.complex(jnp.cos(out_phases), jnp.sin(out_phases))
+        return {"phase": phase_f, "freq": freq_f, "hist": hist}, y
+
+
+class FastAGCChunked(FastAGCPallas):
+    """FastAGC, chunk-parallel on TPU for long 1-D blocks (state grows a
+    ``hist`` buffer of the last ``warmup`` input amplitudes)."""
+
+    def __init__(self, *args, warmup: int = 1024, max_lanes: int = 512,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.warmup = int(warmup)
+        self.max_lanes = int(max_lanes)
+
+    def init_state(self):
+        # constant history at set_point/init_gain: lane 0's first-block
+        # seed gain lands exactly on the configured init_gain
+        hist0 = jnp.full((*self.lead_shape, self.warmup),
+                         np.float32(self.set_point) / self.init_gain,
+                         jnp.float32)
+        return {"gain": super().init_state(), "hist": hist0}
+
+    def __call__(self, state, x):
+        amps = jnp.abs(x)
+        k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes)
+        if x.ndim != 1 or k < 128 or \
+                (not self.interpret and not _pallas_on_tpu()):
+            gain_f, y = FastAGCPallas.__call__(self, state["gain"], x)
+            hist = jnp.concatenate([state["hist"], amps],
+                                   axis=-1)[..., -self.warmup:]
+            return {"gain": gain_f, "hist": hist}, y
+        gains, hist, gain_f = fast_agc_gains_chunked(
+            amps, state["hist"], self.set_point, self.max_gain, self.rate,
+            lanes_k=k, interpret=self.interpret)
+        y = x * gains.astype(x.dtype) if jnp.iscomplexobj(x) else x * gains
+        return {"gain": gain_f, "hist": hist}, y
+
+
+class AGCChunked(AGCPallas):
+    """Full AGC, chunk-parallel on TPU for long 1-D blocks (state grows a
+    ``hist`` buffer of the last ``warmup`` input amplitudes)."""
+
+    def __init__(self, *args, warmup: int = 2048, max_lanes: int = 512,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.warmup = int(warmup)
+        self.max_lanes = int(max_lanes)
+
+    def init_state(self):
+        st = super().init_state()
+        # constant history at the configured initial tracked amplitude
+        # (set_point/init_gain): lane 0's first-block seeds land exactly
+        # on the exact loop's init_state
+        st["hist"] = jnp.full((*self.lead_shape, self.warmup),
+                              np.float32(self.set_point) / self.init_gain,
+                              jnp.float32)
+        return st
+
+    def __call__(self, state, x):
+        amps = jnp.abs(x)
+        k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes)
+        if x.ndim != 1 or not self.enabled or k < 128 or \
+                (not self.interpret and not _pallas_on_tpu()):
+            sub = {"amp": state["amp"], "gain": state["gain"]}
+            sub, y = AGCPallas.__call__(self, sub, x)
+            hist = jnp.concatenate([state["hist"], amps],
+                                   axis=-1)[..., -self.warmup:]
+            return {**sub, "hist": hist}, y
+        gains, hist, amp_f, gain_f = agc_gains_chunked(
+            amps, state["hist"], self.set_point, self.attack, self.decay,
+            self.max_gain, self.max_output_amp, lanes_k=k,
+            interpret=self.interpret)
+        y = x * gains.astype(x.dtype) if jnp.iscomplexobj(x) else x * gains
+        return {"amp": amp_f, "gain": gain_f, "hist": hist}, y

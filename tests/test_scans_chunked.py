@@ -1,0 +1,184 @@
+"""Chunk-parallel loop approximation contract (ops/scans_pallas.py).
+
+The chunked PLL/AGC drivers cut a long block into K overlapping lanes that
+each re-acquire over a W-sample warm-up window (the stream-Viterbi trick
+from ops/fec_pallas.decode_soft_stream). These tests pin the documented
+contract in interpret mode on CPU:
+
+- on a locked signal, payload outputs match the exact sequential scan to
+  small error once W >> 1/bandwidth (PLL) / 1/rate (AGC);
+- the carried ``hist`` hands real history across blocks (no first-sample
+  glitch on block 2);
+- SDRPP_TPU_LOOPS=exact and short blocks fall back BIT-identically to the
+  exact Pallas recurrence.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sdrpp_tpu.ops.scans import FL_PI
+from sdrpp_tpu.ops import scans_pallas as SP
+from sdrpp_tpu.ops.scans_pallas import (AGCChunked, AGCPallas,
+                                        FastAGCChunked, FastAGCPallas,
+                                        PLLChunked, PLLPallas)
+
+FS = 240000.0
+
+
+def _hz(f):
+    return np.float32(2.0 * np.pi * f / FS)
+
+
+def _pilot_pll_pair(warmup, interpret=True):
+    """Exact + chunked WFM-pilot-style PLLs (broadcast_fm.h:77-83 config)."""
+    kw = dict(bandwidth=25000.0 / FS, init_phase=0.0, init_freq=_hz(19000.0),
+              min_freq=_hz(18750.0), max_freq=_hz(19250.0))
+    return (PLLPallas(**kw, interpret=interpret),
+            PLLChunked(**kw, warmup=warmup, max_lanes=512,
+                       interpret=interpret))
+
+
+def _pilot_tone(n, seed=0, snr_amp=0.01):
+    rng = np.random.default_rng(seed)
+    ph = 2 * np.pi * 19000.0 * np.arange(n) / FS + 0.3
+    return (np.exp(1j * ph) + snr_amp * (rng.standard_normal(n)
+            + 1j * rng.standard_normal(n))).astype(np.complex64)
+
+
+def test_pll_chunked_matches_exact_on_locked_pilot():
+    n, W = 32768, 64
+    x = _pilot_tone(2 * n)
+    ref, chk = _pilot_pll_pair(W)
+    s1, s2 = ref.init_state(), chk.init_state()
+    for i in range(2):
+        blk = jnp.asarray(x[i * n:(i + 1) * n])
+        s1, y1 = ref(s1, blk)
+        s2, y2 = chk(s2, blk)
+        err = np.abs(np.asarray(y1) - np.asarray(y2))
+        # tight lock: VCO phasor error stays at float32-accumulation noise
+        assert err.max() < PLL_TOL, (i, err.max())
+    # final carries land on the same lock point
+    assert abs(float(s1["freq"]) - float(s2["freq"])) < 1e-4
+
+
+# measured on the locked-pilot config above: max |Δphasor| = 3.6e-6 across
+# both blocks (the 64-sample warm-up at bw=0.104 fully re-converges each
+# lane; what remains is float32 rounding-path noise). 1e-4 gives ~30x
+# headroom while staying far below a lost lock (which shows up as O(1)
+# error).
+PLL_TOL = 1e-4
+
+
+def test_pll_chunked_block_seam_has_no_glitch():
+    """Block 2's first payload samples come from lanes warmed on block 1's
+    carried hist — the seam must be as accurate as the interior."""
+    n, W = 32768, 64
+    x = _pilot_tone(2 * n, seed=1)
+    ref, chk = _pilot_pll_pair(W)
+    s1, s2 = ref.init_state(), chk.init_state()
+    s1, y1a = ref(s1, jnp.asarray(x[:n]))
+    s2, y2a = chk(s2, jnp.asarray(x[:n]))
+    s1, y1b = ref(s1, jnp.asarray(x[n:]))
+    s2, y2b = chk(s2, jnp.asarray(x[n:]))
+    seam = np.abs(np.asarray(y1b)[:256] - np.asarray(y2b)[:256])
+    assert seam.max() < PLL_TOL, seam.max()
+
+
+def test_fast_agc_chunked_matches_exact():
+    n, W = 32768, 128
+    rng = np.random.default_rng(2)
+    # slowly-varying envelope on noise: the AGC's tracked gain is the
+    # quantity that must match after warm-up
+    env = (1.0 + 0.3 * np.sin(2 * np.pi * np.arange(2 * n) / n)).astype(np.float32)
+    x = (env * (rng.standard_normal(2 * n) + 1j * rng.standard_normal(2 * n))
+         ).astype(np.complex64)
+    ref = FastAGCPallas(1.0, 1e4, 0.05, interpret=True)
+    chk = FastAGCChunked(1.0, 1e4, 0.05, warmup=W, max_lanes=512,
+                         interpret=True)
+    s1, s2 = ref.init_state(), chk.init_state()
+    for i in range(2):
+        blk = jnp.asarray(x[i * n:(i + 1) * n])
+        s1, y1 = ref(s1, blk)
+        s2, y2 = chk(s2, blk)
+        y1, y2 = np.asarray(y1), np.asarray(y2)
+        denom = np.maximum(np.abs(y1), 1e-3)
+        rel = (np.abs(y1 - y2) / denom)
+        assert np.percentile(rel, 99) < FAST_AGC_TOL, (i, np.percentile(rel, 99))
+    assert abs(float(s1) - float(s2["gain"])) / float(s1) < 0.05
+
+
+FAST_AGC_TOL = 0.05
+
+
+def test_agc_chunked_matches_exact():
+    n, W = 32768, 256
+    rng = np.random.default_rng(3)
+    env = (1.0 + 0.5 * np.sin(2 * np.pi * np.arange(2 * n) / n)).astype(np.float32)
+    x = (env * np.abs(rng.standard_normal(2 * n))).astype(np.float32)
+    args = (1.0, 0.1, 0.05, 1e4, 10.0)
+    ref = AGCPallas(*args, interpret=True)
+    chk = AGCChunked(*args, warmup=W, max_lanes=512, interpret=True)
+    s1, s2 = ref.init_state(), chk.init_state()
+    for i in range(2):
+        blk = jnp.asarray(x[i * n:(i + 1) * n])
+        s1, y1 = ref(s1, blk)
+        s2, y2 = chk(s2, blk)
+        y1, y2 = np.asarray(y1), np.asarray(y2)
+        denom = np.maximum(np.abs(y1), 1e-3)
+        rel = np.abs(y1 - y2) / denom
+        assert np.percentile(rel, 99) < AGC_TOL, (i, np.percentile(rel, 99))
+
+
+AGC_TOL = 0.05
+
+
+def test_chunked_exact_mode_is_bit_identical(monkeypatch):
+    """SDRPP_TPU_LOOPS=exact routes every chunked block to the exact
+    recurrence — outputs (and non-hist carries) bit-match the Pallas form."""
+    monkeypatch.setattr(SP, "LOOPS_MODE", "exact")
+    n = 32768
+    x = jnp.asarray(_pilot_tone(n, seed=4))
+    ref, chk = _pilot_pll_pair(64)
+    s1, y1 = ref(ref.init_state(), x)
+    s2, y2 = chk(chk.init_state(), x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    assert float(s1["phase"]) == float(s2["phase"])
+    assert float(s1["freq"]) == float(s2["freq"])
+
+
+def test_chunked_falls_back_exact_on_short_blocks():
+    """Blocks too short to amortize warm-up (k < 128 lanes) use the exact
+    path — bit-identical, and the hist carry still updates."""
+    n = 4096  # < 2*W*128 for W=64
+    x = jnp.asarray(_pilot_tone(n, seed=5))
+    ref, chk = _pilot_pll_pair(64)
+    s1, y1 = ref(ref.init_state(), x)
+    s2, y2 = chk(chk.init_state(), x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    hist = np.asarray(s2["hist"])
+    expected = np.angle(np.asarray(x)[-64:]).astype(np.float32)
+    np.testing.assert_allclose(hist, expected, atol=1e-5)
+
+
+def test_chunked_falls_back_on_batched_input():
+    n, C = 2048, 3
+    x = np.stack([_pilot_tone(n, seed=6 + c) for c in range(C)])
+    kw = dict(bandwidth=25000.0 / FS, init_phase=0.0, init_freq=_hz(19000.0),
+              min_freq=_hz(18750.0), max_freq=_hz(19250.0), lead_shape=(C,))
+    ref = PLLPallas(**kw, interpret=True)
+    chk = PLLChunked(**kw, warmup=64, interpret=True)
+    s1, y1 = ref(ref.init_state(), jnp.asarray(x))
+    s2, y2 = chk(chk.init_state(), jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    assert s2["hist"].shape == (C, 64)
+
+
+def test_agc_chunked_first_block_seed_matches_exact_init():
+    """The synthetic init hist must land lane 0's seeds exactly on the
+    exact loop's init_state (no cold-start divergence on block 1)."""
+    chk = AGCChunked(1.0, 0.1, 0.05, 1e4, 10.0, init_gain=2.0,
+                     warmup=64, interpret=True)
+    st = chk.init_state()
+    np.testing.assert_allclose(np.asarray(st["hist"]), 0.5)
+    assert float(st["amp"]) == 0.5
+    assert float(st["gain"]) == 2.0

@@ -72,6 +72,17 @@ def main():
     guard("FastAGC (pallas)", lambda: speed_test(
         FastAGCPallas(1.0, 1e6, 0.01), na))
     guard("PLL (pallas)", lambda: speed_test(PLLPallas(0.01), na))
+
+    # chunk-parallel approximate loops (long 1-D blocks, the default in
+    # the analog demods; SDRPP_TPU_LOOPS=exact disables)
+    from sdrpp_tpu.ops.scans_pallas import (AGCChunked, FastAGCChunked,
+                                            PLLChunked)
+    guard("AGC (chunked)", lambda: speed_test(
+        AGCChunked(1.0, 0.01, 0.001, 1e6, 10.0, float("inf")), n,
+        dtype=jnp.float32))
+    guard("FastAGC (chunked)", lambda: speed_test(
+        FastAGCChunked(1.0, 1e6, 0.01), n))
+    guard("PLL (chunked)", lambda: speed_test(PLLChunked(0.01), n))
     guard("WFM stereo demod", lambda: speed_test(
         WFMDemod(75000.0, 240000.0), n))
     guard("AM demod (AGC-bound)", lambda: speed_test(

@@ -202,3 +202,95 @@ def test_fft_zoom_uneven():
     want = np.array([np.arange(1000)[pixel == p].max() for p in range(128)],
                     np.float32)
     np.testing.assert_array_equal(z, want)
+
+
+def _spectrum_oracle_db(frame_nz, window_centered, size):
+    """NumPy float64 oracle for one SpectrumFFT frame: centered unity-gain
+    window (sign flip already baked into ``window_centered``), zero-pad to
+    ``size``, FFT, dB power (iq_frontend.cpp:230-296 / window.h:38-64)."""
+    fr = frame_nz.astype(np.complex128) * window_centered
+    X = np.fft.fft(fr, n=size)
+    p = (X.real * X.real + X.imag * X.imag)
+    return 10.0 * np.log10(p + 1e-20)
+
+
+def test_spectrum_1m_bins_tone_magnitude_center_and_snr():
+    """BASELINE config #2 bound at fft_size=2^20: unity-gain magnitude,
+    sign-flip centering, and noise floor of a full-scale tone, with the
+    exact-interval framing (nz == size)."""
+    from sdrpp_tpu.ops.windows import create_window
+
+    size = 1 << 20
+    fs = float(size)  # rate=1.0 -> interval == size: nz=size, skip=0
+    spec = SpectrumFFT(size, fs, 1.0, Window.BLACKMAN_HARRIS7)
+    assert spec.nz == size and spec.skip == 0
+
+    k = 123457  # tone k bins above DC, exactly on an FFT bin
+    x = np.exp(2j * np.pi * k * np.arange(size) / size).astype(np.complex64)
+    line = np.asarray(spec(jnp.asarray(x)))[0]
+    assert line.shape == (size,)
+
+    want_bin = size // 2 + k
+    peak_bin = int(np.argmax(line))
+    assert peak_bin == want_bin, (peak_bin, want_bin)
+    # unity-gain window: full-scale bin-centered tone peaks at 0 dB
+    assert abs(line[peak_bin]) < 0.1, line[peak_bin]
+    # SNR bound: everything outside the BH7 main lobe (+-8 bins) sits at
+    # the float32 FFT noise floor, >= 90 dB below the peak
+    mask = np.ones(size, bool)
+    mask[want_bin - 8:want_bin + 9] = False
+    floor = line[mask].max()
+    assert line[peak_bin] - floor > 90.0, floor
+    # full-line agreement with the float64 oracle where power is above
+    # the f32 round-off floor
+    w = create_window(Window.BLACKMAN_HARRIS7, size, centered=True)
+    ref = _spectrum_oracle_db(x, w, size)
+    sig = ref > -90.0
+    np.testing.assert_allclose(line[sig], ref[sig], atol=0.05)
+
+
+def test_spectrum_1m_bins_zero_padded_framing():
+    """1M-bin spectrum with nz < size (zero-padded frames, the fft_rate-
+    limited framing of iq_frontend.h:56-60) against the float64 oracle."""
+    from sdrpp_tpu.ops.windows import create_window
+
+    size = 1 << 20
+    fs, rate = 20e6, 20.0  # interval 1e6 < 2^20 -> nz=1e6, zero-pad 48576
+    spec = SpectrumFFT(size, fs, rate, Window.BLACKMAN_HARRIS7)
+    assert spec.nz == 1000000 and spec.skip == 0
+    assert spec.frame_len == 1000000
+
+    f_tone = 3.2e6
+    n = spec.frame_len
+    x = (0.5 * np.exp(2j * np.pi * f_tone * np.arange(n) / fs)
+         ).astype(np.complex64)
+    line = np.asarray(spec(jnp.asarray(x)))[0]
+
+    want_bin = size // 2 + int(round(f_tone / fs * size))
+    peak_bin = int(np.argmax(line))
+    assert abs(peak_bin - want_bin) <= 1, (peak_bin, want_bin)
+
+    w = create_window(Window.BLACKMAN_HARRIS7, spec.nz, centered=True)
+    ref = _spectrum_oracle_db(x[:spec.nz], w, size)
+    sig = ref > -90.0
+    assert sig.sum() >= 8  # at least the main lobe
+    np.testing.assert_allclose(line[sig], ref[sig], atol=0.05)
+
+
+def test_spectrum_1m_bins_skip_framing():
+    """1M bins with interval > size: the skipped tail must not leak into
+    the frame (keep/skip of iq_frontend.h:56-60 at full display size)."""
+    size = 1 << 20
+    fs = float(2 * size)  # rate=1.0 -> interval = 2*size: nz=size, skip=size
+    spec = SpectrumFFT(size, fs, 1.0, Window.BLACKMAN_HARRIS7)
+    assert spec.nz == size and spec.skip == size
+
+    k = 4096
+    n = spec.frame_len  # one frame: size kept + size skipped
+    x = np.exp(2j * np.pi * k * np.arange(n) / size).astype(np.complex64)
+    # poison the skipped region: if it leaked into the FFT the floor jumps
+    x[size:] = 37.0
+    line = np.asarray(spec(jnp.asarray(x)))[0]
+    peak_bin = int(np.argmax(line))
+    assert peak_bin == size // 2 + k
+    assert abs(line[peak_bin]) < 0.1, line[peak_bin]

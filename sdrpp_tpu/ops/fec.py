@@ -276,45 +276,75 @@ class ConvCode:
             soft2 = soft_arr.astype(np.float32).reshape(total, self.rate)
         n_chunks = -(-total // L)
         starts = np.clip(np.arange(n_chunks) * L - W, 0, total - t_w)
-        bits = np.empty(total, np.uint8)
+        # Whole decode as ONE device program: the stream uploads once
+        # (overlaps are re-read on device, not re-shipped), a lax.scan
+        # drives groups of _STREAM_BATCH windows through ACS+traceback,
+        # the interior bits are extracted on device, and only PACKED bytes
+        # (total/8) cross the tunnel. vs the previous per-group host loop
+        # (re-built windows host-side, one dispatch per group, 1 byte per
+        # bit back) this removed the dominant tunnel-IO term.
         B = self._STREAM_BATCH
-        for b0 in range(0, n_chunks, B):
-            group = range(b0, min(b0 + B, n_chunks))
-            windows = np.stack([soft2[starts[c]: starts[c] + t_w]
-                                for c in group])
-            if len(group) < B:  # pad to a constant shape (one jit trace)
-                windows = np.concatenate(
-                    [windows, np.zeros((B - len(group), t_w, self.rate),
-                                       soft2.dtype)])
-            # ACS + one-hot traceback both on device: the [B, t_w, S]
-            # decision matrix never crosses the tunnel, only [B, t_w] bits
-            try:
-                wbits = np.asarray(self._jit_stream(jnp.asarray(windows)))
-            except Exception:
-                # batched kernels failed to compile on this backend: pin
-                # the fallback and decode the whole stream exactly
-                self._disable_stream = True
-                self.__dict__.pop("_jit_stream", None)
-                return self.decode_soft_np(soft_bits)
-            for i, c in enumerate(group):
-                g0, g1 = c * L, min((c + 1) * L, total)
-                bits[g0:g1] = wbits[i, g0 - starts[c]: g1 - starts[c]]
+        G = -(-n_chunks // B)
+        pad_c = G * B - n_chunks
+        starts_pad = np.concatenate(
+            [starts, np.full(pad_c, starts[-1], starts.dtype)]
+        ).astype(np.int32)
+        offs = (np.arange(n_chunks) * L - starts).astype(np.int32)
+        offs_pad = np.concatenate([offs, np.zeros(pad_c, np.int32)])
+        try:
+            packed = np.asarray(self._jit_stream(
+                total, L, W, G, soft2.dtype == np.uint8)(
+                jnp.asarray(soft2), jnp.asarray(starts_pad),
+                jnp.asarray(offs_pad)))
+        except Exception:
+            # batched kernels failed to compile on this backend: pin the
+            # fallback and decode the whole stream exactly
+            self._disable_stream = True
+            self._jit_stream.cache_clear()
+            return self.decode_soft_np(soft_bits)
+        bits = np.unpackbits(packed)[:total]
         return bits[: total - (self.order + 1)]
 
-    @functools.cached_property
-    def _jit_stream(self):
+    @functools.lru_cache(maxsize=None)  # noqa: B019 - per-instance cache
+    def _jit_stream(self, total: int, L: int, W: int, G: int, is_u8: bool):
         from .fec_pallas import (viterbi_acs_pallas_batched,
                                  viterbi_traceback_pallas_batched)
 
         expected = jnp.asarray(self.reg_outputs.astype(np.float32) * 255.0)
         interpret = jax.default_backend() not in ("tpu", "axon")
         S = self.num_states
+        B = self._STREAM_BATCH
+        t_w = L + 2 * W
+        n_pack = -(-total // 8)
+        # MSB-first to match np.unpackbits
+        pack_w = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.uint32))
 
-        def run(w):
-            dec = viterbi_acs_pallas_batched(w, expected, S,
-                                             interpret=interpret)
-            return viterbi_traceback_pallas_batched(dec, S,
-                                                    interpret=interpret)
+        def run(soft, starts, offs):
+            # soft: [total, R]; starts/offs: [G*B] int32
+            tw_idx = jnp.arange(t_w, dtype=jnp.int32)
+
+            def body(carry, sg):
+                idx = sg[:, None] + tw_idx[None, :]
+                w = jnp.take(soft, idx, axis=0,
+                             mode="clip").astype(jnp.float32)
+                dec = viterbi_acs_pallas_batched(w, expected, S,
+                                                 interpret=interpret)
+                bits = viterbi_traceback_pallas_batched(dec, S,
+                                                        interpret=interpret)
+                return carry, bits  # [B, t_w] u8
+
+            _, allbits = jax.lax.scan(body, 0, starts.reshape(G, B))
+            allbits = allbits.reshape(G * B, t_w)
+            # interior of chunk c lives at [offs[c], offs[c]+L) of its
+            # window; the final chunk's tail indices run past t_w (clip —
+            # those positions fall beyond ``total`` and are dropped)
+            gidx = offs[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+            interior = jnp.take_along_axis(allbits, gidx, axis=1,
+                                           mode="clip")
+            flat = interior.reshape(-1)[:total]
+            flat = jnp.pad(flat, (0, n_pack * 8 - total))
+            return (flat.reshape(n_pack, 8).astype(jnp.uint32)
+                    * pack_w).sum(axis=-1).astype(jnp.uint8)
 
         return jax.jit(run)
 

@@ -152,27 +152,56 @@ class FFTChannelizerBank(Block):
         R, m, F, M = self.R, self.m, p["F"], p["M"]
         buf = jnp.concatenate([state["tail"], x])
         X = jnp.fft.fft(buf, F)
+
+        # Under shard_map (parallel/spmd.py) this device holds a [C/d]
+        # channel shard: per-channel tables slice to the local row block
+        # and the pruned bin starts become traced (dynamic_slice instead
+        # of static slices — still per-channel copies, not a gather).
+        from ..parallel.spmd import current_channel_axis, local_rows
+        ax = current_channel_axis()
+        c_local = state["phase"].shape[0]
+        sharded = ax is not None and c_local != self.channels
+        if sharded:
+            def take(t):
+                return local_rows(t, c_local, ax)
+        else:
+            def take(t):
+                return jnp.asarray(t)
+
         if self.prune:
-            # static-start circular slices (one per channel, unrolled at
-            # trace time — plain copies on device)
             Xp = jnp.concatenate([X, X[: 2 * M]])
-            Sw = jnp.stack([
-                jax.lax.slice_in_dim(Xp, int(s), int(s) + 2 * M)
-                for s in p["starts"]
-            ]) * jnp.asarray(p["Hw"])
+            if sharded:
+                starts = take(p["starts"].astype(np.int32))
+                Sw = jnp.stack([
+                    jax.lax.dynamic_slice_in_dim(Xp, starts[ci], 2 * M)
+                    for ci in range(c_local)
+                ]) * take(p["Hw"])
+            else:
+                # static-start circular slices (one per channel, unrolled
+                # at trace time — plain copies on device)
+                Sw = jnp.stack([
+                    jax.lax.slice_in_dim(Xp, int(s), int(s) + 2 * M)
+                    for s in p["starts"]
+                ]) * jnp.asarray(p["Hw"])
             fold = Sw[:, M:] + Sw[:, :M]
         else:
             # roll(X, b_c) per channel == gather at (k - b) mod F
-            idx = (np.arange(F)[None, :] - p["b"][:, None]) % F
-            S = X[jnp.asarray(idx.astype(np.int32))] * jnp.asarray(p["H"])
-            fold = jnp.sum(S.reshape(self.channels, R, M), axis=1)
+            if sharded:
+                b_loc = take(p["b"].astype(np.int32))
+                idx = jnp.mod(jnp.arange(F, dtype=jnp.int32)[None, :]
+                              - b_loc[:, None], F)
+                S = X[idx] * take(p["H"])
+            else:
+                idx = (np.arange(F)[None, :] - p["b"][:, None]) % F
+                S = X[jnp.asarray(idx.astype(np.int32))] * jnp.asarray(p["H"])
+            fold = jnp.sum(S.reshape(c_local, R, M), axis=1)
         z = jnp.fft.ifft(fold, axis=-1)[:, : n // R] * np.float32(M / F)
         ph = state["phase"]
         carry = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
-        y = z * carry[:, None] * jnp.asarray(p["corr"])
+        y = z * carry[:, None] * take(p["corr"])
         new_state = {
             "tail": buf[n:],
-            "phase": jnp.mod(ph + jnp.asarray(p["step"]), np.float32(TWO_PI)),
+            "phase": jnp.mod(ph + take(p["step"]), np.float32(TWO_PI)),
         }
         y = y.astype(jnp.complex64)
         if self.filter is not None:

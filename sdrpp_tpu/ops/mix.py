@@ -94,15 +94,29 @@ def mix_bank(phase: jax.Array, x: jax.Array, omegas: np.ndarray,
     lo = np.mod(np.arange(k, dtype=np.float64)[None, :] * omegas[:, None],
                 TWO_PI)  # [C, k]
     step = np.mod(n * omegas, TWO_PI).astype(np.float32)
-    new_phase = jnp.mod(phase + jnp.asarray(step), np.float32(TWO_PI))
+
+    # Under shard_map (parallel/spmd.py) the carried phase is this
+    # device's [C/d] shard: bake the full tables replicated and take the
+    # local row block. Outside shard_map ``take`` is the identity.
+    from ..parallel.spmd import current_channel_axis, local_rows
+    ax = current_channel_axis()
+    c_local = phase.shape[0]
+    if ax is not None and c_local != c:
+        def take(t):
+            return local_rows(t, c_local, ax)
+    else:
+        def take(t):
+            return jnp.asarray(t)
+
+    new_phase = jnp.mod(phase + take(step), np.float32(TWO_PI))
 
     if _mix_use_product():
         # exp(j(phi0 + hi + lo)) = phasor(phi0) * HI * LOW: the two tables
         # are host-precomputed complex constants; runtime transcendentals
         # are only the [C] carried phases. Unit-magnitude products don't
         # drift — there is no recurrence (the carry is still an angle).
-        hi_c = jnp.asarray(np.exp(1j * hi).astype(np.complex64))  # [C, a]
-        lo_c = jnp.asarray(np.exp(1j * lo).astype(np.complex64))  # [C, k]
+        hi_c = take(np.exp(1j * hi).astype(np.complex64))  # [C, a]
+        lo_c = take(np.exp(1j * lo).astype(np.complex64))  # [C, k]
         ph0 = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))     # [C]
         lo_osc = (ph0[:, None, None] * hi_c[:, :, None]) * lo_c[:, None, :]
         xs = x.reshape(*x.shape[:-1], a, k)
@@ -110,9 +124,9 @@ def mix_bank(phase: jax.Array, x: jax.Array, omegas: np.ndarray,
             .reshape(*lo_osc.shape[:-2], n)
         return new_phase, y
 
-    ph = (phase[:, None, None] + jnp.asarray(hi.astype(np.float32))[:, :, None]
-          + jnp.asarray(lo.astype(np.float32))[:, None, :])
-    ph = jnp.mod(ph, np.float32(TWO_PI)).reshape(c, n)
+    ph = (phase[:, None, None] + take(hi.astype(np.float32))[:, :, None]
+          + take(lo.astype(np.float32))[:, None, :])
+    ph = jnp.mod(ph, np.float32(TWO_PI)).reshape(c_local, n)
     lo_osc = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
     y = x * lo_osc if x.ndim > 1 else x[None, :] * lo_osc
     return new_phase, y

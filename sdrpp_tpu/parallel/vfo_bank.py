@@ -158,6 +158,12 @@ class ScannerBank(Block):
             audio = jnp.swapaxes(planes, -1, -2)
         return {"vfo": vs, "squelch": ss, "demod": ds, "af": afs}, audio
 
+    def _leaf_spec(self, leaf, axis="channels"):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
+                leaf.shape[0] == self.channels:
+            return P(axis, *([None] * (leaf.ndim - 1)))
+        return P()
+
     def shard(self, mesh, state, put=None):
         """Place the carried state with the channel axis sharded over
         ``mesh``; returns (sharded_state, in_sharding, out_sharding).
@@ -169,14 +175,46 @@ class ScannerBank(Block):
             put = jax.device_put
 
         def shard_leaf(leaf):
-            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
-                    leaf.shape[0] == self.channels:
-                spec = P("channels", *([None] * (leaf.ndim - 1)))
-            else:
-                spec = P()
-            return put(leaf, NamedSharding(mesh, spec))
+            return put(leaf, NamedSharding(mesh, self._leaf_spec(leaf)))
 
         sharded = jax.tree_util.tree_map(shard_leaf, state)
         in_sh = NamedSharding(mesh, P())  # wideband input replicated
         out_sh = NamedSharding(mesh, P("channels", None))
         return sharded, in_sh, out_sh
+
+    def sharded_step(self, mesh, axis="channels"):
+        """The PRODUCTION multi-chip step: the whole bank under shard_map
+        over the channel axis (``axis``: one mesh axis name or a tuple —
+        e.g. ('host', 'chip') on a 2-D mesh).
+
+        Why not plain jit + in_shardings: GSPMD cannot partition Mosaic
+        (Pallas) custom calls, so the lane-batched AGC/PLL kernels inside
+        the demods make auto-partitioning REJECT the program on real
+        multi-chip TPU (found by tools/check_aot_topology.py; the CPU
+        dryrun can't see it because Pallas falls back to lax.scan
+        off-TPU). Under shard_map each device runs the bank on its local
+        [C/d] channel shard — Pallas kernels included — and the
+        per-channel table-baking stages slice their tables via
+        parallel/spmd.channel_shard.
+
+        Returns (step, state_specs): ``step`` is jitted;
+        state placement = NamedSharding(mesh, spec) per state_specs leaf.
+        """
+        from jax import shard_map
+
+        from .spmd import channel_shard
+
+        state_shapes = jax.eval_shape(self.init_state)
+        st_specs = jax.tree_util.tree_map(
+            lambda l: self._leaf_spec(l, axis), state_shapes)
+
+        def fn(state, x):
+            with channel_shard(axis):
+                return self(state, x)
+
+        smapped = shard_map(
+            fn, mesh=mesh,
+            in_specs=(st_specs, P()),
+            out_specs=(st_specs, P(axis, None)),
+            check_vma=False)
+        return jax.jit(smapped), st_specs

@@ -1,0 +1,145 @@
+"""AOT-compile the multi-chip programs against a REAL TPU topology.
+
+The CPU-mesh dryrun (__graft_entry__.dryrun_multichip) validates sharding
+SEMANTICS but cannot catch TPU-lowering failures: Pallas falls back to
+lax.scan off-TPU, and GSPMD/Mosaic constraints only bite in the real
+compiler. This tool uses jax.experimental.topologies to compile the
+sharded production programs for a v5e slice WITHOUT any attached chips
+and asserts the expected ICI collectives appear in the optimized HLO.
+
+What it already caught: GSPMD cannot partition Mosaic custom calls at
+all ("Mosaic kernels cannot be automatically partitioned"), so the
+jit+in_shardings VFO-bank path from round 1 would have failed its first
+real pod run — the bank now ships a shard_map path
+(ScannerBank.sharded_step + parallel/spmd.py) which this tool compiles
+with the Pallas kernels engaged.
+
+Usage: python tools/check_aot_topology.py [topology, default v5e:2x4]
+Prints one PASS/FAIL line per program; exit 0 iff all pass.
+Runs chiplessly — safe for the driver on any host with libtpu.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+FAILURES = []
+
+
+def check(name, fn):
+    try:
+        detail = fn()
+        print(f"PASS {name}: {detail}", flush=True)
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}", flush=True)
+        FAILURES.append(name)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    topo_name = sys.argv[1] if len(sys.argv) > 1 else "v5e:2x4"
+    topo = topologies.get_topology_desc(topo_name, platform="tpu")
+    devs = np.array(topo.devices)
+    nd = devs.size
+    print(f"topology: {topo_name} ({nd} devices, "
+          f"{topo.devices[0].device_kind})", flush=True)
+
+    def dist_fft_1m():
+        from sdrpp_tpu.parallel.dist_fft import dist_fft
+        mesh = Mesh(devs.reshape(nd), ("fft",))
+        f = jax.jit(lambda v: dist_fft(v, mesh))
+        comp = f.lower(
+            jax.ShapeDtypeStruct((1 << 20,), jnp.complex64)).compile()
+        txt = comp.as_text()
+        assert "all-to-all" in txt, "no all-to-all in optimized HLO"
+        return "1M-bin 4-step FFT compiles; all-to-all on ICI present"
+
+    check("dist_fft 1M", dist_fft_1m)
+
+    def time_shard_nfm():
+        from sdrpp_tpu.parallel.time_shard import make_time_step_nfm
+        mesh = Mesh(devs.reshape(nd), ("time",))
+        block = 8192 * nd
+        step, init = make_time_step_nfm(mesh, offset_hz=20000.0,
+                                        samplerate=256000.0,
+                                        bandwidth=12500.0, block_size=block)
+        state_sds = jax.eval_shape(init)
+        comp = step.lower(
+            state_sds,
+            jax.ShapeDtypeStruct((block,), jnp.complex64)).compile()
+        txt = comp.as_text()
+        assert "collective-permute" in txt, \
+            "no collective-permute (halo exchange) in optimized HLO"
+        return "halo-exchange NFM step compiles; collective-permute present"
+
+    check("time-shard NFM", time_shard_nfm)
+
+    def bank(channelizer, mesh, axis):
+        from sdrpp_tpu.parallel.vfo_bank import ScannerBank
+        offs = np.linspace(-2.4e6, 2.4e6, 8 * nd)
+        b = ScannerBank(offs, 6144000.0, mode="usb", if_rate=48000.0,
+                        bandwidth=2700.0, squelch_level=-50.0,
+                        channelizer=channelizer)
+        n = b.block_multiple * max(1, 262144 // b.block_multiple)
+        step, specs = b.sharded_step(mesh, axis=axis)
+        st_sds = jax.tree_util.tree_map(
+            lambda l, s: jax.ShapeDtypeStruct(
+                l.shape, l.dtype, sharding=NamedSharding(mesh, s)),
+            jax.eval_shape(b.init_state), specs)
+        comp = step.lower(
+            st_sds, jax.ShapeDtypeStruct((n,), jnp.complex64)).compile()
+        txt = comp.as_text()
+        # the demod AGC runs as a Mosaic kernel inside shard_map on TPU
+        has_mosaic = "tpu_custom_call" in txt or "custom-call" in txt
+        return (f"{8 * nd}-ch bank compiles under shard_map "
+                f"(Mosaic custom call present: {has_mosaic})")
+
+    mesh1 = Mesh(devs.reshape(nd), ("channels",))
+    check("VFO bank (time channelizer)",
+          lambda: bank("time", mesh1, "channels"))
+    check("VFO bank (fft channelizer)",
+          lambda: bank("fft", mesh1, "channels"))
+
+    if nd % 2 == 0:
+        mesh2 = Mesh(devs.reshape(2, nd // 2), ("host", "chip"))
+        check("VFO bank (2-D host x chip mesh)",
+              lambda: bank("fft", mesh2, ("host", "chip")))
+
+    def gspmd_rejects_mosaic():
+        # Negative control: the round-1 jit+in_shardings path must FAIL on
+        # Mosaic kernels — if this ever starts passing, GSPMD learned to
+        # partition Pallas and sharded_step could be simplified.
+        from sdrpp_tpu.ops.scans_pallas import PLLPallas
+        pll = PLLPallas(0.01, lead_shape=(8 * nd,))
+        sh = NamedSharding(mesh1, P("channels", None))
+        st = {
+            "phase": jax.ShapeDtypeStruct(
+                (8 * nd,), jnp.float32,
+                sharding=NamedSharding(mesh1, P("channels"))),
+            "freq": jax.ShapeDtypeStruct(
+                (8 * nd,), jnp.float32,
+                sharding=NamedSharding(mesh1, P("channels"))),
+        }
+        x = jax.ShapeDtypeStruct((8 * nd, 8192), jnp.complex64, sharding=sh)
+        try:
+            jax.jit(pll).lower(st, x).compile()
+        except Exception:
+            return "GSPMD still rejects auto-partitioned Mosaic (expected)"
+        raise AssertionError(
+            "GSPMD now partitions Mosaic kernels — revisit sharded_step")
+
+    check("negative control", gspmd_rejects_mosaic)
+
+    print("ALL PASS" if not FAILURES else f"FAILURES: {FAILURES}")
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

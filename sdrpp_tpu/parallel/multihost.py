@@ -99,10 +99,15 @@ class MultiHostReceiver:
         self.bank = ScannerBank(offsets_hz, in_samplerate, mode=mode,
                                 if_rate=if_rate, bandwidth=bandwidth)
         self.block_multiple = self.bank.block_multiple
-        self._state, self._in_sh, self._out_sh = self.bank.shard(
-            self.mesh, self.bank.init_state(), put=put_global)
-        self._step = jax.jit(self.bank, in_shardings=(None, self._in_sh),
-                             out_shardings=(None, self._out_sh))
+        # production path = shard_map (GSPMD cannot partition the Mosaic
+        # kernels the demods use on real TPU — vfo_bank.sharded_step)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self._step, specs = self.bank.sharded_step(self.mesh)
+        self._state = jax.tree_util.tree_map(
+            lambda l, s: put_global(l, NamedSharding(self.mesh, s)),
+            self.bank.init_state(), specs)
+        self._in_sh = NamedSharding(self.mesh, P())
+        self._out_sh = NamedSharding(self.mesh, P("channels", None))
 
     def process_block(self, local_iq: np.ndarray):
         """Feed one wideband block (identical logical content on each host —

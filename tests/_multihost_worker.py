@@ -32,8 +32,8 @@ def main():
     channels = 8
     fs_in = 256000.0
     offsets = np.linspace(-100000.0, 100000.0, channels)
-    rx = MultiHostReceiver(offsets, fs_in, mode="nfm", if_rate=32000.0,
-                           bandwidth=12500.0,
+    rx = MultiHostReceiver(offsets, fs_in, mode="usb", if_rate=32000.0,
+                           bandwidth=2700.0,
                            coordinator=f"127.0.0.1:{port}",
                            num_processes=num_processes,
                            process_id=process_id)

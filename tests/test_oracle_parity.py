@@ -548,3 +548,58 @@ def test_wfm_rds_tap(oracle, tmp_path):
     mine = np.concatenate(outs)
     assert err_snr_db(ref, mine, skip=1000) > 35.0
     assert level_diff_db(ref, mine, skip=1000) < 0.1
+
+
+def test_golden_e2e_wav_to_audio_at_rtl_rate(oracle, tmp_path):
+    """VERDICT #9 golden end-to-end: one IQ WAV at an RTL-style rate
+    (2.4 Msps) driven through (a) the reference oracle's FULL chain —
+    RxVFO 2.4M->48k (power-decim cascade + gcd rational resampler plan,
+    rational_resampler.h:121-167) feeding the FM demod — and (b) our
+    public `cli run` entry point, asserting audio parity within 0.1 dB.
+    """
+    import wave as wave_mod
+
+    from sdrpp_tpu.cli import cmd_run
+    from sdrpp_tpu.io import wav as wav_io
+
+    fs, off, f_aud, dev, bw = 2400000.0, 300000.0, 1000.0, 2500.0, 12500.0
+    n = 1200000  # 0.5 s
+    t = np.arange(n) / fs
+    audio = np.sin(2 * np.pi * f_aud * t)
+    iq = np.exp(1j * (2 * np.pi * off * t
+                      + np.cumsum(2 * np.pi * dev * audio / fs))
+                ).astype(np.complex64)
+
+    # (a) reference chain: RxVFO (2.4M -> 48k IF, 12.5k channel) -> NFM
+    ref_if = run_oracle(oracle, tmp_path, "rx_vfo", iq,
+                        2400000.0, 48000.0, 12500.0, off,
+                        block=240000).view(np.complex64)
+    ref = run_oracle(oracle, tmp_path, "nfm", ref_if,
+                     48000.0, bw, 1.0, 0.0, block=6000)
+
+    # (b) our full app path: IQ WAV file -> cli run -> audio WAV
+    src_wav = tmp_path / "iq2400k.wav"
+    wav_io.write_wav(str(src_wav), int(fs),
+                     np.stack([iq.real, iq.imag], -1), "f32")
+    out_wav = tmp_path / "audio.wav"
+    cmd_run(["--source", str(src_wav), "--mode", "nfm",
+             "--offset", str(off), "--out", str(out_wav),
+             "--sample-format", "i16", "--block-size", "240000"])
+    with wave_mod.open(str(out_wav), "rb") as w:
+        assert w.getframerate() == 48000 and w.getnchannels() == 1
+        mine = np.frombuffer(w.readframes(w.getnframes()), np.int16) \
+            .astype(np.float32) / 32767.0
+
+    # parity within 0.1 dB after the acquisition/filter transient
+    skip = 4800
+    m = min(len(ref), len(mine))
+    assert m > 20000, (len(ref), len(mine))
+    snr = err_snr_db(ref[:m], mine[:m], skip=skip)
+    lvl = level_diff_db(ref[:m], mine[:m], skip=skip)
+    assert snr > 40.0, snr
+    assert lvl < 0.1, lvl
+    # and the recovered tone is the right one
+    seg = mine[skip:m].astype(np.float64)
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    f_pk = np.argmax(spec[5:]) + 5
+    assert abs(f_pk * 48000.0 / len(seg) - f_aud) < 5.0

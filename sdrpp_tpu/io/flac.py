@@ -4,25 +4,28 @@ The reference recorder offers WAV/FLAC/MP3 containers
 (misc_modules/recorder/src/main.cpp:48-60) and encodes FLAC through
 libFLAC with default settings, integer sample formats only
 (core/src/utils/wav.cpp:94-114). libFLAC is not in this image, so this is
-a from-scratch spec-compliant implementation (fixed predictors +
-partitioned Rice coding — the format's "fixed" subset every decoder must
-support):
+a from-scratch spec-compliant implementation:
 
 - stream:     "fLaC" magic + STREAMINFO metadata block (RFC 9639 §8.2)
 - frames:     14-bit sync, fixed-blocksize strategy, UTF-8-coded frame
               number, CRC-8 header / CRC-16 frame trailers
-- subframes:  CONSTANT / VERBATIM / FIXED order 0-4, independent channels
-- residuals:  partitioned Rice (method 0, 4-bit parameter, escape code)
+- subframes:  CONSTANT / VERBATIM / FIXED order 0-4 / LPC (order 8,
+              Levinson-Durbin quantized coefficients on encode; any
+              order 1-32 on decode)
+- stereo:     left/side, right/side, mid/side decorrelation on encode
+              (libFLAC's default; per-frame cost pick, ``stereo_mode``
+              overrides) and decode
+- residuals:  partitioned Rice (methods 0/1, escape code)
 
-The encoder picks the best fixed predictor order per channel per frame by
-minimal total residual magnitude (the same heuristic libFLAC's fast preset
-uses) and writes a correct MD5 of the unencoded samples into STREAMINFO so
-`flac -t` style integrity checks pass.
+The encoder picks the cheapest of the fixed orders and the LPC candidate
+per subframe by estimated Rice bits (libFLAC's heuristic) and writes a
+correct MD5 of the unencoded samples into STREAMINFO so `flac -t` style
+integrity checks pass.
 
-Not implemented (not needed for the recorder): LPC subframes on encode
-(decoder handles fixed subset only), stereo decorrelation, variable block
-size. Any spec decoder reads these files; this decoder reads only what the
-encoder emits (plus CONSTANT/VERBATIM) and verifies both CRCs + MD5.
+Not implemented (not needed for the recorder): variable block size on
+encode; the decoder reads any fixed-blocksize stream a spec encoder
+produces (all subframe types, all four channel assignments, both Rice
+methods) and verifies both CRCs + MD5.
 """
 
 from __future__ import annotations
@@ -271,13 +274,18 @@ class FlacWriter:
 
     def __init__(self, path, samplerate: int, channels: int = 2,
                  bits: int = 16, block_size: int = 4096,
-                 lpc: bool = True, lpc_precision: int = 14):
+                 lpc: bool = True, lpc_precision: int = 14,
+                 stereo_mode: str = "auto"):
         if bits not in _SAMPLE_SIZE_CODE:
             raise ValueError(f"unsupported bit depth {bits}")
         if not 1 <= channels <= 8:
             raise ValueError("1..8 channels")
+        if stereo_mode not in ("auto", "independent", "left_side",
+                               "right_side", "mid_side"):
+            raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
         self.lpc = lpc
         self.lpc_precision = lpc_precision
+        self.stereo_mode = stereo_mode
         self.path = Path(path)
         self.samplerate = int(samplerate)
         self.channels = channels
@@ -343,7 +351,8 @@ class FlacWriter:
         bs_code = 0b0110 if n <= 256 else 0b0111
         bw.write(bs_code, 4)
         bw.write(0b0000, 4)             # sample rate: from STREAMINFO
-        bw.write(self.channels - 1, 4)  # independent channels
+        ch_asgn, planes = self._channel_assignment(blk)
+        bw.write(ch_asgn, 4)
         bw.write(_SAMPLE_SIZE_CODE[self.bits], 3)
         bw.write(0, 1)                  # reserved
         for b in _utf8_code(self._frame_no):
@@ -359,8 +368,8 @@ class FlacWriter:
             bw.write(b, 8)
         bw.write(crc8(hdr), 8)
 
-        for ch in range(self.channels):
-            self._emit_subframe(bw, blk[:, ch])
+        for x, xbits in planes:
+            self._emit_subframe(bw, x, xbits)
 
         bw.align()
         body = bw.getvalue()
@@ -378,9 +387,47 @@ class FlacWriter:
             raw[:, i] = (le >> (8 * i)) & 0xFF
         self._md5.update(raw.tobytes())
 
-    def _emit_subframe(self, bw: _BitWriter, x: np.ndarray):
-        n = len(x)
+    def _channel_assignment(self, blk: np.ndarray):
+        """Pick the frame's channel assignment (RFC 9639 §9.1.3).
+
+        Stereo frames try the decorrelated forms libFLAC uses by default —
+        left/side (8), right/side (9), mid/side (10); the side channel
+        codes with bits+1. Estimated cost = Rice bits of the order-2 fixed
+        residual per plane (libFLAC's loose estimate). Returns
+        (ch_asgn, [(plane, bits), ...]).
+        """
         bits = self.bits
+        if self.channels != 2 or self.stereo_mode == "independent":
+            return (self.channels - 1,
+                    [(blk[:, c], bits) for c in range(self.channels)])
+        left = blk[:, 0]
+        right = blk[:, 1]
+        side = left - right
+        mid = (left + right) >> 1
+        cands = {
+            "independent": (1, [(left, bits), (right, bits)]),
+            "left_side": (8, [(left, bits), (side, bits + 1)]),
+            "right_side": (9, [(side, bits + 1), (right, bits)]),
+            "mid_side": (10, [(mid, bits), (side, bits + 1)]),
+        }
+        if self.stereo_mode != "auto":
+            return cands[self.stereo_mode]
+
+        def est(x):
+            if len(x) < 3:
+                return 8 * len(x)
+            r = np.diff(np.diff(x.astype(np.int64)))
+            folded = _zigzag(r)
+            return _rice_bits(folded, _rice_param(folded))
+
+        el, er, es, em = est(left), est(right), est(side), est(mid)
+        costs = {"independent": el + er, "left_side": el + es,
+                 "right_side": er + es, "mid_side": em + es}
+        return cands[min(costs, key=costs.get)]
+
+    def _emit_subframe(self, bw: _BitWriter, x: np.ndarray, bits=None):
+        n = len(x)
+        bits = self.bits if bits is None else bits
         if np.all(x == x[0]):
             bw.write(0, 1)
             bw.write(0b000000, 6)  # CONSTANT
@@ -485,7 +532,7 @@ class FlacInfo:
 
 
 def read_flac(path, verify: bool = True):
-    """Decode a FLAC file (fixed-predictor subset) -> (FlacInfo, int32 [n, ch]).
+    """Decode a FLAC file -> (FlacInfo, int32 [n, ch]).
 
     Verifies frame CRC-8/CRC-16 and the STREAMINFO MD5 when ``verify``.
     """
@@ -548,14 +595,33 @@ def read_flac(path, verify: bool = True):
         if verify and crc8(blob[frame_start:hdr_end]) != blob[hdr_end]:
             raise ValueError("frame header CRC-8 mismatch")
         br = _BitReader(blob, (hdr_end + 1) * 8)
-        if ch_asgn > 7:
-            raise ValueError("stereo decorrelation not supported by this decoder")
-        channels = ch_asgn + 1
         bits = _SAMPLE_SIZE_FROM_CODE.get(ss_code, info.bits) \
             if ss_code else info.bits
-        frame = np.zeros((n, channels), np.int64)
-        for c in range(channels):
-            frame[:, c] = _decode_subframe(br, n, bits)
+        if ch_asgn > 10:
+            raise ValueError(f"reserved channel assignment {ch_asgn}")
+        if ch_asgn <= 7:
+            channels = ch_asgn + 1
+            frame = np.zeros((n, channels), np.int64)
+            for c in range(channels):
+                frame[:, c] = _decode_subframe(br, n, bits)
+        else:
+            # stereo decorrelation (RFC 9639 §9.1.3): the side channel
+            # carries one extra bit
+            if ch_asgn == 8:    # left/side
+                left = _decode_subframe(br, n, bits)
+                side = _decode_subframe(br, n, bits + 1)
+                right = left - side
+            elif ch_asgn == 9:  # side/right
+                side = _decode_subframe(br, n, bits + 1)
+                right = _decode_subframe(br, n, bits)
+                left = right + side
+            else:               # mid/side
+                mid = _decode_subframe(br, n, bits)
+                side = _decode_subframe(br, n, bits + 1)
+                mid = (mid << 1) | (side & 1)
+                left = (mid + side) >> 1
+                right = (mid - side) >> 1
+            frame = np.stack([left, right], axis=1)
         br.align()
         body_end = br.pos // 8
         if verify:

@@ -161,3 +161,48 @@ def test_cli_run_flac_container(tmp_path):
     info, dec = read_flac(out)
     assert info.samplerate == 48000
     assert info.total_samples > 0
+
+
+def test_flac_stereo_decorrelation_roundtrip(tmp_path):
+    """All four channel assignments (RFC 9639 §9.1.3) round-trip exactly,
+    including the side channel's bits+1 coding — the foreign-file surface
+    libFLAC emits by default (mid/side)."""
+    from sdrpp_tpu.io.flac import FlacWriter, read_flac
+
+    rng = np.random.default_rng(0)
+    n = 9000
+    t = np.arange(n)
+    base = (3000 * np.sin(2 * np.pi * 440 * t / 48000)).astype(np.int64)
+    noise = rng.integers(-40, 40, n)  # shared: L-R stays tiny
+    left = base + noise
+    right = base + noise + rng.integers(-4, 4, n)
+    blk = np.stack([left, right], 1).astype(np.int64)
+
+    for mode in ("auto", "independent", "left_side", "right_side",
+                 "mid_side"):
+        p = tmp_path / f"st_{mode}.flac"
+        with FlacWriter(p, 48000, channels=2, bits=16, stereo_mode=mode) as w:
+            w.write(blk)
+        info, got = read_flac(p)  # verify=True: CRCs + MD5 must hold
+        assert info.channels == 2 and info.total_samples == n
+        np.testing.assert_array_equal(got, blk.astype(np.int32)), mode
+
+    # correlated stereo must actually CHOOSE decorrelation and win size
+    auto = tmp_path / "st_auto.flac"
+    indep = tmp_path / "st_independent.flac"
+    assert auto.stat().st_size < indep.stat().st_size
+
+
+def test_flac_mid_side_odd_sum_exact(tmp_path):
+    """mid/side with odd L+R (the (mid<<1)|(side&1) reconstruction bit)."""
+    from sdrpp_tpu.io.flac import FlacWriter, read_flac
+
+    rng = np.random.default_rng(1)
+    blk = rng.integers(-(1 << 14), 1 << 14, (5000, 2)).astype(np.int64)
+    blk[::2, 0] += 1  # force odd sums
+    p = tmp_path / "ms.flac"
+    with FlacWriter(p, 48000, channels=2, bits=16,
+                    stereo_mode="mid_side") as w:
+        w.write(blk)
+    _, got = read_flac(p)
+    np.testing.assert_array_equal(got, blk.astype(np.int32))

@@ -100,6 +100,35 @@ def main():
 
     check("viterbi_traceback_pallas_batched", _traceback_batched)
 
+    # chunk-parallel loop drivers (lane kernels under the warm-up-window
+    # lane slicing; the default path of the analog demods on TPU)
+    nn = 1 << 18
+    xl = jnp.asarray(rng.uniform(-np.pi, np.pi, nn).astype(np.float32))
+    hist = jnp.zeros(512, jnp.float32)
+
+    def _pll_chunked():
+        from sdrpp_tpu.ops.scans_pallas import pll_phases_chunked
+        return jax.jit(lambda p: jnp.sum(pll_phases_chunked(
+            p, hist, 0.1, 0.01, -1.0, 1.0, lanes_k=128)[0]))(xl)
+
+    check("pll_phases_chunked", _pll_chunked)
+
+    def _agc_chunked():
+        from sdrpp_tpu.ops.scans_pallas import agc_gains_chunked
+        a = jnp.abs(xl) + np.float32(0.1)
+        return jax.jit(lambda p: jnp.sum(agc_gains_chunked(
+            p, hist, 1.0, 0.1, 0.01, 1e4, 10.0, lanes_k=128)[0]))(a)
+
+    check("agc_gains_chunked", _agc_chunked)
+
+    def _fast_agc_chunked():
+        from sdrpp_tpu.ops.scans_pallas import fast_agc_gains_chunked
+        a = jnp.abs(xl) + np.float32(0.1)
+        return jax.jit(lambda p: jnp.sum(fast_agc_gains_chunked(
+            p, hist, 1.0, 1e4, 0.01, lanes_k=128)[0]))(a)
+
+    check("fast_agc_gains_chunked", _fast_agc_chunked)
+
     width = max(len(n) for n, _ in checks)
     failed = 0
     for name, status in checks:

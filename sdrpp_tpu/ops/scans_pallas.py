@@ -558,20 +558,23 @@ class AGCPallas(AGC):
 
 
 def _lane_slice(ext, K, L, W):
-    """[W + K*L] extended stream -> [K, W+L] overlapping lanes (lane j =
-    ext[j*L : j*L + W + L]) using two reshapes, no gather. Needs W <= L."""
-    warm = ext[:K * L].reshape(K, L)[:, :W]
-    return jnp.concatenate([warm, ext[W:].reshape(K, L)], axis=1)
+    """[..., W + K*L] extended stream -> [..., K, W+L] overlapping lanes
+    (lane j = ext[..., j*L : j*L + W + L]) using two reshapes, no gather.
+    Needs W <= L."""
+    lead = ext.shape[:-1]
+    warm = ext[..., :K * L].reshape(*lead, K, L)[..., :W]
+    return jnp.concatenate([warm, ext[..., W:].reshape(*lead, K, L)],
+                           axis=-1)
 
 
 def _build_lanes(streams, hists, K):
-    """Cut [n] streams into K overlapping lanes [K, W+L] with W-sample
-    warm-up windows drawn from the stream itself (lane 0's from ``hists``,
-    the previous block's tail). Payloads are padded to K*L by replicating
-    the last sample (a constant tail keeps a locked loop locked).
-    Returns (lanes, L, pad)."""
-    W = hists[0].shape[0]
-    n = streams[0].shape[0]
+    """Cut [..., n] streams into K overlapping lanes [..., K, W+L] per
+    leading index, with W-sample warm-up windows drawn from the stream
+    itself (lane 0's from ``hists``, the previous block's tail). Payloads
+    are padded to K*L by replicating the last sample (a constant tail
+    keeps a locked loop locked). Returns (lanes, L, pad)."""
+    W = hists[0].shape[-1]
+    n = streams[0].shape[-1]
     L = -(-n // K)
     pad = K * L - n
     assert W <= L, (W, L)
@@ -579,96 +582,109 @@ def _build_lanes(streams, hists, K):
     for s, h in zip(streams, hists):
         s = s.astype(jnp.float32)
         if pad:
-            s = jnp.concatenate([s, jnp.broadcast_to(s[-1], (pad,))])
-        ext = jnp.concatenate([h.astype(jnp.float32), s])
+            s = jnp.concatenate(
+                [s, jnp.broadcast_to(s[..., -1:], (*s.shape[:-1], pad))],
+                axis=-1)
+        ext = jnp.concatenate([h.astype(jnp.float32), s], axis=-1)
         lanes.append(_lane_slice(ext, K, L, W))
     return lanes, L, pad
 
 
 def _run_lanes(make_body, state, lanes, interpret):
-    """Run the recurrence over [K, W+L] lanes (time-major in the kernel).
-    ``state``: [k, K] per-lane seeds. Returns ([K, W+L] out, [k, K] fin)."""
-    tm = [jnp.swapaxes(l, 0, 1) for l in lanes]
-    out, fin = _lane_scan_call(make_body, state, tm, tm[0].shape[0], interpret)
-    return jnp.swapaxes(out, 0, 1), fin
+    """Run the recurrence over [..., K, W+L] lanes, all leading dims and K
+    flattened into the VPU lane axis (time-major in the kernel).
+    ``state``: [k, ..., K] per-lane seeds. Returns (out like lanes[0],
+    fin shaped like state)."""
+    shp = lanes[0].shape  # [..., K, W+L]
+    m = int(np.prod(shp[:-1]))
+    tm = [jnp.swapaxes(l.reshape(m, shp[-1]), 0, 1) for l in lanes]
+    out, fin = _lane_scan_call(make_body, state.reshape(state.shape[0], m),
+                               tm, shp[-1], interpret)
+    return jnp.swapaxes(out, 0, 1).reshape(shp), \
+        fin.reshape(state.shape[0], *shp[:-1])
 
 
 def pll_phases_chunked(in_phases: jax.Array, hist: jax.Array, alpha, beta,
                        min_freq, max_freq, lanes_k: int = 128,
                        interpret: bool = False):
-    """Chunk-parallel PLL phase recurrence over K lanes.
+    """Chunk-parallel PLL phase recurrence over K lanes (x any leading
+    channel dims — channels and lanes share the VPU lane axis).
 
     ``hist``: the previous block's last W input phases (W = warm-up).
     Seeds: per-lane phase = first warm-up input (zero initial phase
     error), per-lane freq = mean normalized warm-up phase increment
     clipped to the loop's frequency limits — near-lock immediately for a
     tone tracker like the WFM pilot PLL (broadcast_fm.h:77-83 semantics).
-    Returns (out_phases [n], new_hist [W], phase_f, freq_f).
+    Returns (out_phases [..., n], new_hist [..., W], phase_f, freq_f).
     """
-    n = in_phases.shape[0]
-    W = hist.shape[0]
+    n = in_phases.shape[-1]
+    lead = in_phases.shape[:-1]
+    W = hist.shape[-1]
     lanes, L, _ = _build_lanes([in_phases], [hist], lanes_k)
-    lane = lanes[0]
+    lane = lanes[0]  # [..., K, W+L]
     two_pi = np.float32(2.0) * FL_PI
-    d = lane[:, 1:W + 1] - lane[:, :W]
+    d = lane[..., 1:W + 1] - lane[..., :W]
     d = jnp.where(d > FL_PI, d - two_pi, d)
     d = jnp.where(d <= -FL_PI, d + two_pi, d)
-    seed_phase = lane[:, 0]
-    seed_freq = jnp.clip(jnp.mean(d, axis=1), np.float32(min_freq),
+    seed_phase = lane[..., 0]
+    seed_freq = jnp.clip(jnp.mean(d, axis=-1), np.float32(min_freq),
                          np.float32(max_freq))
     state = jnp.stack([seed_phase, seed_freq])
     out, fin = _run_lanes(_pll_make_body(alpha, beta, min_freq, max_freq),
                           state, lanes, interpret)
-    out = out[:, W:].reshape(lanes_k * L)[:n]
-    new_hist = in_phases[n - W:].astype(jnp.float32)
-    return out, new_hist, fin[0, -1], fin[1, -1]
+    out = out[..., W:].reshape(*lead, lanes_k * L)[..., :n]
+    new_hist = in_phases[..., n - W:].astype(jnp.float32)
+    return out, new_hist, fin[0, ..., -1], fin[1, ..., -1]
 
 
 def fast_agc_gains_chunked(amps: jax.Array, hist: jax.Array, set_point,
                            max_gain, rate, lanes_k: int = 128,
                            interpret: bool = False):
-    """Chunk-parallel FastAGC gain recurrence. Seeds each lane at the
-    steady-state gain for its warm-up window's mean amplitude.
-    Returns (gains [n], new_hist [W], gain_f)."""
-    n = amps.shape[0]
-    W = hist.shape[0]
+    """Chunk-parallel FastAGC gain recurrence (x any leading channel
+    dims). Seeds each lane at the steady-state gain for its warm-up
+    window's mean amplitude. Returns (gains, new_hist, gain_f)."""
+    n = amps.shape[-1]
+    lead = amps.shape[:-1]
+    W = hist.shape[-1]
     lanes, L, _ = _build_lanes([amps], [hist], lanes_k)
     a = lanes[0]
-    mean_amp = jnp.mean(a[:, :W], axis=1)
+    mean_amp = jnp.mean(a[..., :W], axis=-1)
     seed_gain = jnp.where(mean_amp > 0,
                           jnp.minimum(np.float32(set_point) / mean_amp,
                                       np.float32(max_gain)),
                           np.float32(1.0))
-    state = seed_gain[None, :]
+    state = seed_gain[None]
     out, fin = _run_lanes(_fast_agc_make_body(set_point, max_gain, rate),
                           state, lanes, interpret)
-    out = out[:, W:].reshape(lanes_k * L)[:n]
-    new_hist = amps[n - W:].astype(jnp.float32)
-    return out, new_hist, fin[0, -1]
+    out = out[..., W:].reshape(*lead, lanes_k * L)[..., :n]
+    new_hist = amps[..., n - W:].astype(jnp.float32)
+    return out, new_hist, fin[0, ..., -1]
 
 
 def agc_gains_chunked(amps: jax.Array, hist: jax.Array, set_point, attack,
                       decay, max_gain, max_output_amp, lanes_k: int = 128,
                       interpret: bool = False):
-    """Chunk-parallel full-AGC gain recurrence (look-ahead clip kept: the
-    suffix max is computed over the whole extended block and lane-sliced,
-    so every lane sees the same look-ahead table as the exact scan).
-    Seeds each lane with its warm-up window's mean amplitude.
-    Returns (gains [n], new_hist [W], amp_f, gain_f)."""
-    n = amps.shape[0]
-    W = hist.shape[0]
+    """Chunk-parallel full-AGC gain recurrence (x any leading channel
+    dims; look-ahead clip kept: the suffix max is computed over the whole
+    extended block and lane-sliced, so every lane sees the same
+    look-ahead table as the exact scan). Seeds each lane with its warm-up
+    window's mean amplitude. Returns (gains, new_hist, amp_f, gain_f)."""
+    n = amps.shape[-1]
+    lead = amps.shape[:-1]
+    W = hist.shape[-1]
     K = lanes_k
     L = -(-n // K)
     pad = K * L - n
     assert W <= L, (W, L)
     s = amps.astype(jnp.float32)
     if pad:
-        s = jnp.concatenate([s, jnp.broadcast_to(s[-1], (pad,))])
-    ext = jnp.concatenate([hist.astype(jnp.float32), s])
-    sfx = jnp.flip(jax.lax.cummax(jnp.flip(ext)), -1)
+        s = jnp.concatenate(
+            [s, jnp.broadcast_to(s[..., -1:], (*lead, pad))], axis=-1)
+    ext = jnp.concatenate([hist.astype(jnp.float32), s], axis=-1)
+    sfx = jnp.flip(jax.lax.cummax(jnp.flip(ext, -1), axis=ext.ndim - 1), -1)
     lane_a = _lane_slice(ext, K, L, W)
     lane_s = _lane_slice(sfx, K, L, W)
-    mean_amp = jnp.mean(lane_a[:, :W], axis=1)
+    mean_amp = jnp.mean(lane_a[..., :W], axis=-1)
     seed_amp = jnp.where(mean_amp > 0, mean_amp, np.float32(1.0))
     seed_gain = jnp.minimum(np.float32(set_point) / seed_amp,
                             np.float32(max_gain))
@@ -676,22 +692,26 @@ def agc_gains_chunked(amps: jax.Array, hist: jax.Array, set_point, attack,
     out, fin = _run_lanes(
         _agc_make_body(set_point, attack, decay, max_gain, max_output_amp),
         state, [lane_a, lane_s], interpret)
-    out = out[:, W:].reshape(K * L)[:n]
-    new_hist = amps[n - W:].astype(jnp.float32)
-    return out, new_hist, fin[0, -1], fin[1, -1]
+    out = out[..., W:].reshape(*lead, K * L)[..., :n]
+    new_hist = amps[..., n - W:].astype(jnp.float32)
+    return out, new_hist, fin[0, ..., -1], fin[1, ..., -1]
 
 
-def _chunk_lanes_for(n: int, warmup: int, max_lanes: int) -> int:
-    """Largest multiple-of-128 lane count with payloads >= 2x warm-up
-    (bounding warm-up overhead at 33%); 0 = don't chunk."""
+def _chunk_lanes_for(n: int, warmup: int, max_lanes: int,
+                     channels: int = 1) -> int:
+    """Per-channel lane count K with payloads >= 2x warm-up (bounding
+    warm-up overhead at 33%), granular so channels*K is a multiple of the
+    128-lane tile; 0 = don't chunk."""
+    import math
     if LOOPS_MODE == "exact" or warmup <= 0:
         return 0
     k = min(max_lanes, n // (2 * warmup))
-    return (k // 128) * 128
+    m = 128 // math.gcd(channels, 128)
+    return (k // m) * m
 
 
 class PLLChunked(PLLPallas):
-    """PLL that runs chunk-parallel on TPU for long 1-D blocks, the exact
+    """PLL that runs chunk-parallel on TPU for long blocks (1-D, or\n    [C, n] banks — channels and lanes share the VPU lane axis), the exact
     Pallas/lax.scan recurrence otherwise. State grows a ``hist`` buffer of
     the last ``warmup`` input phases so lane 0 warms up on real history."""
 
@@ -716,8 +736,9 @@ class PLLChunked(PLLPallas):
 
     def __call__(self, state, x):
         in_phase = jnp.arctan2(x.imag, x.real)
-        k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes)
-        if x.ndim != 1 or k < 128 or \
+        C = 1 if x.ndim == 1 else int(np.prod(x.shape[:-1]))
+        k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes, C)
+        if x.ndim > 2 or k < 1 or C * k < 128 or \
                 (not self.interpret and not _pallas_on_tpu()):
             sub = {"phase": state["phase"], "freq": state["freq"]}
             sub, y = PLLPallas.__call__(self, sub, x)
@@ -732,7 +753,7 @@ class PLLChunked(PLLPallas):
 
 
 class FastAGCChunked(FastAGCPallas):
-    """FastAGC, chunk-parallel on TPU for long 1-D blocks (state grows a
+    """FastAGC, chunk-parallel on TPU for long 1-D/[C, n] blocks (state grows a
     ``hist`` buffer of the last ``warmup`` input amplitudes)."""
 
     def __init__(self, *args, warmup: int = 1024, max_lanes: int = 512,
@@ -751,8 +772,9 @@ class FastAGCChunked(FastAGCPallas):
 
     def __call__(self, state, x):
         amps = jnp.abs(x)
-        k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes)
-        if x.ndim != 1 or k < 128 or \
+        C = 1 if x.ndim == 1 else int(np.prod(x.shape[:-1]))
+        k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes, C)
+        if x.ndim > 2 or k < 1 or C * k < 128 or \
                 (not self.interpret and not _pallas_on_tpu()):
             gain_f, y = FastAGCPallas.__call__(self, state["gain"], x)
             hist = jnp.concatenate([state["hist"], amps],
@@ -766,7 +788,7 @@ class FastAGCChunked(FastAGCPallas):
 
 
 class AGCChunked(AGCPallas):
-    """Full AGC, chunk-parallel on TPU for long 1-D blocks (state grows a
+    """Full AGC, chunk-parallel on TPU for long 1-D/[C, n] blocks (state grows a
     ``hist`` buffer of the last ``warmup`` input amplitudes)."""
 
     def __init__(self, *args, warmup: int = 2048, max_lanes: int = 512,
@@ -787,8 +809,9 @@ class AGCChunked(AGCPallas):
 
     def __call__(self, state, x):
         amps = jnp.abs(x)
-        k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes)
-        if x.ndim != 1 or not self.enabled or k < 128 or \
+        C = 1 if x.ndim == 1 else int(np.prod(x.shape[:-1]))
+        k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes, C)
+        if x.ndim > 2 or not self.enabled or k < 1 or C * k < 128 or \
                 (not self.interpret and not _pallas_on_tpu()):
             sub = {"amp": state["amp"], "gain": state["gain"]}
             sub, y = AGCPallas.__call__(self, sub, x)

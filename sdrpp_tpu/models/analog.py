@@ -200,6 +200,11 @@ class WFMDemod(Block):
             min_freq=hz_to_rads(18750.0, samplerate),
             max_freq=hz_to_rads(19250.0, samplerate),
             lead_shape=ls,
+            # chunk warm-up: the pilot loop's bandwidth is ~0.1 rad/sample
+            # (time constant ~10 samples); 128 is 13x that — measured
+            # 3.6e-6 max phasor error at even W=64
+            # (tests/test_scans_chunked.py)
+            warmup=128,
         )
         d = (self.pilot_taps.shape[0] - 1) // 2 + 1
         self.lpr_delay = Delay(d, dtype=jnp.float32, lead_shape=ls)

@@ -259,3 +259,26 @@ def test_every_js_endpoint_is_served(live):
             continue
         with urllib.request.urlopen(url, timeout=30) as r:
             assert r.status == 200, p
+
+
+@pytest.mark.parametrize("bad", [
+    "const s = 'unterminated\nnext;",
+    "function f() { if (x) { g(); }",        # unclosed brace
+    "const a = (1 + [2, 3).length;",         # mismatched pair
+    "/* never closed",
+    "const t = `tpl ${x ;",                  # unterminated interpolation
+])
+def test_js_guard_fails_on_broken_scripts(bad):
+    """Meta-test: the tokenizer/balance check must actually REJECT the
+    ship-breaking syntax class it claims to guard."""
+    with pytest.raises(AssertionError):
+        code, events = _strip_js(bad)
+        pairs = {")": "(", "]": "[", "}": "{"}
+        stack = []
+        for ch, line in events:
+            if ch in "([{":
+                stack.append((ch, line))
+            else:
+                assert stack
+                assert stack.pop()[0] == pairs[ch]
+        assert not stack

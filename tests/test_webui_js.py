@@ -47,12 +47,10 @@ def _strip_js(src: str):
     events = []
     i, n, line = 0, len(src), 1
     last_sig = ""  # last significant token piece for the regex heuristic
-    tmpl_depth = []  # stack of brace depths inside template literals
 
     def err(msg):
         raise AssertionError(f"webui JS line {line}: {msg}")
 
-    depth = 0
     while i < n:
         c = src[i]
         if c == "\n":
@@ -152,7 +150,6 @@ def _strip_js(src: str):
             i += 1
             continue
         if c in "([{":
-            depth += 1
             events.append((c, line))
         elif c in ")]}":
             events.append((c, line))

@@ -12,7 +12,11 @@ here; these tests are the strongest browserless guard:
 3. every HTTP endpoint the script calls must be served (checked against
    a LIVE WebUIServer, not a route table);
 4. every bare page-local function called must be defined (typo guard),
-   and every defined one must be used.
+   and every defined one must be used;
+5. every bare identifier READ must be declared (var/let/const declarator
+   walk incl. multi-declarator + destructuring, params, catch bindings)
+   or be a known browser global — the misspelled-variable
+   ReferenceError class, with meta-tests proving the guard trips.
 
 Together with tests/test_webui.py (which drives the same endpoints the
 JS consumes and checks their payloads), the only thing left unexecuted
@@ -212,6 +216,157 @@ def test_js_page_functions_defined_and_used():
     for fn in set(re.findall(r"\bfunction\s+([A-Za-z_$][\w$]*)", code)):
         uses = len(re.findall(rf"(?<![\w$])({re.escape(fn)})(?![\w$])", code))
         assert uses >= 2, f"page function {fn} defined but never used"
+
+
+_JS_KEYWORDS = set(
+    """var let const function return if else for while do switch case default
+    break continue new typeof instanceof in of delete void this true false
+    null undefined async await try catch finally throw yield get set
+    static class extends super debugger with""".split())
+
+_BROWSER_GLOBALS = set(
+    """window document fetch console Math JSON Date Audio EventSource Image
+    requestAnimationFrame cancelAnimationFrame setInterval setTimeout
+    clearInterval clearTimeout parseFloat parseInt isFinite isNaN Number
+    String Boolean Array Object Symbol Float32Array Float64Array Uint8Array
+    Uint8ClampedArray Uint16Array Uint32Array Int8Array Int16Array Int32Array
+    DataView ArrayBuffer ImageData navigator location history alert prompt
+    confirm AbortController performance Promise encodeURIComponent
+    decodeURIComponent encodeURI decodeURI URLSearchParams URL Error
+    TypeError RangeError NaN Infinity arguments globalThis WebSocket
+    localStorage sessionStorage atob btoa Blob FileReader event""".split())
+
+
+def _skip_initializer(code: str, i: int) -> int:
+    """Advance past a declarator initializer: stop at a depth-0 ',' or ';'
+    (next declarator / end of statement) or a depth-going-negative ')'
+    (the enclosing `for(...)` head)."""
+    depth = 0
+    n = len(code)
+    while i < n:
+        c = code[i]
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif depth == 0 and c in ",;":
+            return i
+        i += 1
+    return i
+
+
+def _declared_names(code: str) -> set:
+    """Every name the blanked script declares: function names, parameters,
+    catch bindings, and a bracket-aware walk of var/let/const declarator
+    lists (handles `const a=f(x,y),b=2` and destructuring patterns).
+    Over-collects identifiers inside parameter defaults / destructuring
+    targets, which only ever widens the allowed set."""
+    decls = set(re.findall(r"\bfunction\s+([A-Za-z_$][\w$]*)", code))
+    for m in re.finditer(r"\bfunction\s*[A-Za-z_$\w]*\s*\(([^)]*)\)", code):
+        decls |= set(re.findall(r"[A-Za-z_$][\w$]*", m.group(1)))
+    for m in re.finditer(r"\(([^()]*)\)\s*=>", code):
+        decls |= set(re.findall(r"[A-Za-z_$][\w$]*", m.group(1)))
+    for m in re.finditer(r"(?<![\w$])([A-Za-z_$][\w$]*)\s*=>", code):
+        decls.add(m.group(1))
+    for m in re.finditer(r"\bcatch\s*\(([^)]*)\)", code):
+        decls |= set(re.findall(r"[A-Za-z_$][\w$]*", m.group(1)))
+    n = len(code)
+    for m in re.finditer(r"\b(?:var|let|const)\b", code):
+        i = m.end()
+        while i < n:
+            # one declarator: pattern [= initializer]
+            pat = re.compile(r"\s*([A-Za-z_$][\w$]*|[\[{])").match(code, i)
+            if not pat:
+                break
+            if pat.group(1) in "[{":
+                # destructuring pattern: take every identifier inside
+                close = {"[": "]", "{": "}"}[pat.group(1)]
+                depth, j = 1, pat.end()
+                while j < n and depth:
+                    if code[j] == pat.group(1):
+                        depth += 1
+                    elif code[j] == close:
+                        depth -= 1
+                    j += 1
+                decls |= set(re.findall(r"[A-Za-z_$][\w$]*",
+                                        code[pat.end():j]))
+                i = j
+            else:
+                decls.add(pat.group(1))
+                i = pat.end()
+            ws = re.compile(r"\s*").match(code, i)
+            i = ws.end()
+            if i < n and code[i] == "=" and code[i:i + 2] not in ("==", "=>"):
+                i = _skip_initializer(code, i + 1)
+            if i < n and code[i] == ",":
+                i += 1
+                continue
+            break
+    return decls
+
+
+def _undeclared_names(code: str) -> dict:
+    """Bare identifiers used but never declared (property accesses after
+    '.', object-literal keys, and keywords/browser globals excluded).
+    Limitation: code inside template-literal ${...} interpolations is
+    blanked by the tokenizer and not checked."""
+    # the tokenizer blanked every literal to "S"/"T"/"R" — drop the letters
+    clean = code.replace('"S"', '""').replace('"T"', '""').replace('"R"', '""')
+    decls = _declared_names(clean)
+    undef = {}
+    for m in re.finditer(r"(?<![\w$.])([A-Za-z_$][\w$]*)", clean):
+        name = m.group(1)
+        if name in _JS_KEYWORDS or name in _BROWSER_GLOBALS or name in decls:
+            continue
+        before = clean[:m.start()].rstrip()[-1:]
+        after = clean[m.end():].lstrip()[:1]
+        if after == ":" and before in "{,":  # object-literal key
+            continue
+        line = clean.count("\n", 0, m.start()) + 1
+        undef.setdefault(name, []).append(line)
+    return undef
+
+
+def test_js_no_undeclared_identifiers():
+    """Every bare identifier the script reads must be declared somewhere
+    in it (or be a browser global) — the misspelled-variable class of
+    runtime ReferenceError that no syntax check can catch."""
+    code, _ = _strip_js(JS)
+    undef = _undeclared_names(code)
+    assert not undef, f"JS uses undeclared identifiers: {undef}"
+
+
+@pytest.mark.parametrize("bad, name", [
+    ("const spectrum=1; draw(spetcrum);", "spetcrum"),    # misspelled use
+    ("let wfLine=0; wfline+=1;", "wfline"),               # case typo
+    ("function f(a){return a+missing;}", "missing"),      # never declared
+])
+def test_js_undeclared_guard_catches_typos(bad, name):
+    code, _ = _strip_js(bad)
+    undef = _undeclared_names(code)
+    assert name in undef
+
+
+def test_js_undeclared_guard_accepts_declaration_forms():
+    """No false positives on the declaration shapes the real script uses:
+    multi-declarator const, for-of heads, destructuring, arrow params,
+    catch bindings."""
+    ok = """
+    const a=f(1,2),b=a+1,y=v=>v*2;
+    let st=null, wfLine=0;
+    for(const x of [1,2]){g(x);}
+    for(let i=0;i<b;i++){g(i);}
+    const {p,q}=obj(),[r,s]=pair();
+    try{g(r);}catch(e){console.log(e,p,q,s,y(a),st,wfLine);}
+    function f(u,v){return u+v;}
+    function g(w){return w;}
+    function obj(){return {p:1,q:2};}
+    function pair(){return [1,2];}
+    """
+    code, _ = _strip_js(ok)
+    assert _undeclared_names(code) == {}
 
 
 @pytest.fixture(scope="module")

@@ -27,8 +27,8 @@ from ..ops.fir import FIR
 from ..ops.fm import Quadrature
 from ..ops.scans import FL_PI, _normalize_phase, _pcl_advance, \
     _critically_damped
-from ..ops.scans_pallas import CostasPallas as Costas, \
-    FastAGCPallas as FastAGC
+from ..ops.scans_pallas import CostasChunked as Costas, \
+    FastAGCChunked as FastAGC
 from ..utils.blocks import Block
 
 __all__ = ["PSKDemod", "GFSKDemod", "MeteorCostas", "MeteorDemod"]
@@ -111,17 +111,34 @@ class MeteorCostas(Block):
 
     def __init__(self, bandwidth: float, broken_modulation: bool = False,
                  init_phase: float = 0.0, init_freq: float = 0.0,
-                 min_freq: float = -float(FL_PI), max_freq: float = float(FL_PI)):
+                 min_freq: float = -float(FL_PI), max_freq: float = float(FL_PI),
+                 warmup: int = 1024, max_lanes: int = 512):
         self.alpha, self.beta = _critically_damped(bandwidth)
         self.broken = broken_modulation
         self.init_phase = np.float32(init_phase)
         self.init_freq = np.float32(init_freq)
         self.min_freq = np.float32(min_freq)
         self.max_freq = np.float32(max_freq)
+        # chunk-parallel path (ops/scans_pallas.costas_phases_chunked):
+        # the broken-modulation error has a UNIQUE lock point (non-uniform
+        # constellation spacing), the plain-QPSK error gets seam rotation
+        # alignment; default warm-up 1024 ~= 14 loop time constants at the
+        # meteor module's 0.005 bandwidth
+        self.warmup = int(warmup)
+        self.max_lanes = int(max_lanes)
 
     def init_state(self):
+        # synthetic chunk-warm-up history: a locked constellation point
+        # (PHASES[0] for broken modulation, pi/4 for plain QPSK — both
+        # zero-error) riding the configured (init_phase, init_freq)
+        two_pi = np.float32(2.0) * FL_PI
+        t = jnp.arange(self.warmup, dtype=jnp.float32) - np.float32(self.warmup)
+        off = np.float32(self.PHASES[0] if self.broken else FL_PI / 4.0)
+        ramp = self.init_phase + self.init_freq * t + off
+        ramp = jnp.mod(ramp + FL_PI, two_pi) - FL_PI
         return {"phase": jnp.zeros((), jnp.float32) + self.init_phase,
-                "freq": jnp.zeros((), jnp.float32) + self.init_freq}
+                "freq": jnp.zeros((), jnp.float32) + self.init_freq,
+                "hist_re": jnp.cos(ramp), "hist_im": jnp.sin(ramp)}
 
     def _error(self, v):
         step_re = jnp.where(v.real > 0, 1.0, -1.0)
@@ -129,15 +146,36 @@ class MeteorCostas(Block):
         return jnp.clip(step_re * v.imag - step_im * v.real, -1.0, 1.0)
 
     def __call__(self, state, x):
-        from ..ops.scans_pallas import _pallas_on_tpu, costas_phases_pallas
+        from ..ops.scans_pallas import (_chunk_lanes_for, _pallas_on_tpu,
+                                        costas_phases_chunked,
+                                        costas_phases_pallas, costas_streams)
+
+        order = "meteor" if self.broken else 4
+        hist = lambda h, s: jnp.concatenate(
+            [h, s.astype(jnp.float32)], axis=-1)[..., -self.warmup:]
+        k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes)
+
+        if x.ndim == 1 and k >= 128 and _pallas_on_tpu():
+            s1, s2 = costas_streams(x.real, x.imag, order)
+            h1, h2 = costas_streams(state["hist_re"], state["hist_im"], order)
+            out_phases, _, _, ph, fr = costas_phases_chunked(
+                s1, s2, h1, h2, state["phase"], state["freq"], order,
+                self.alpha, self.beta, self.min_freq, self.max_freq,
+                lanes_k=k)
+            lo = jax.lax.complex(jnp.cos(-out_phases), jnp.sin(-out_phases))
+            return {"phase": ph, "freq": fr,
+                    "hist_re": hist(state["hist_re"], x.real),
+                    "hist_im": hist(state["hist_im"], x.imag)}, x * lo
 
         if x.ndim == 1 and _pallas_on_tpu():
             out_phases, ph, fr = costas_phases_pallas(
                 x.real, x.imag, state["phase"], state["freq"],
-                "meteor" if self.broken else 4, self.alpha, self.beta,
+                order, self.alpha, self.beta,
                 self.min_freq, self.max_freq)
             lo = jax.lax.complex(jnp.cos(-out_phases), jnp.sin(-out_phases))
-            return {"phase": ph, "freq": fr}, x * lo
+            return {"phase": ph, "freq": fr,
+                    "hist_re": hist(state["hist_re"], x.real),
+                    "hist_im": hist(state["hist_im"], x.imag)}, x * lo
 
         if self.broken:
             # Phase-domain meteor error, the same formulation as the
@@ -166,7 +204,9 @@ class MeteorCostas(Block):
             (ph, fr), out_phases = jax.lax.scan(
                 mstep, (state["phase"], state["freq"]), (in_ph, mags))
             lo = jax.lax.complex(jnp.cos(-out_phases), jnp.sin(-out_phases))
-            return {"phase": ph, "freq": fr}, x * lo
+            return {"phase": ph, "freq": fr,
+                    "hist_re": hist(state["hist_re"], x.real),
+                    "hist_im": hist(state["hist_im"], x.imag)}, x * lo
 
         def step(carry, v):
             phase, freq = carry
@@ -177,7 +217,9 @@ class MeteorCostas(Block):
             return (phase, freq), out
 
         (ph, fr), out = jax.lax.scan(step, (state["phase"], state["freq"]), x)
-        return {"phase": ph, "freq": fr}, out
+        return {"phase": ph, "freq": fr,
+                "hist_re": hist(state["hist_re"], x.real),
+                "hist_im": hist(state["hist_im"], x.imag)}, out
 
 
 class MeteorDemod(Block):

@@ -47,7 +47,8 @@ from .scans import AGC, FL_PI, PLL, Costas, FastAGC
 __all__ = ["pll_phases_pallas", "fast_agc_gains_pallas", "agc_gains_pallas",
            "costas_phases_pallas", "PLLPallas", "FastAGCPallas", "AGCPallas",
            "CostasPallas", "pll_phases_chunked", "fast_agc_gains_chunked",
-           "agc_gains_chunked", "PLLChunked", "FastAGCChunked", "AGCChunked"]
+           "agc_gains_chunked", "PLLChunked", "FastAGCChunked", "AGCChunked",
+           "costas_phases_chunked", "CostasChunked", "costas_streams"]
 
 _CHUNK = 8192  # samples per pallas_call (f32: 32 KB per SMEM stream)
 
@@ -306,27 +307,13 @@ METEOR_PHASES = (0.47439988279190737, 2.1777839908413044,
                  3.8682349942715186, -0.29067248091319986)
 
 
-def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
-                         order, alpha, beta, min_freq, max_freq,
-                         interpret: bool = False):
-    """Sequential Costas recurrence -> (out_phases, phase_f, freq_f).
+def _costas_make_body(order, alpha, beta, min_freq, max_freq):
+    """Shared Costas recurrence body (exact + chunked drivers).
 
-    ``order``: 2 / 4 / 8, or "meteor" for the Meteor M2-x broken-
-    modulation error (models/digital.MeteorCostas._error: distance to the
-    nearest of 4 fixed constellation phases, scaled by amplitude).
-
-    The 2/4/8 errors need the ROTATED sample (reference costas.h:25-38),
-    so the complex input rides along as re/im planes and the kernel
-    rotates each sample by -phase scalar-wise; the output phases let the
-    (vectorized) caller apply the same rotation to produce the mixed-down
-    samples. The METEOR error is phase-domain: Mosaic has no atan2
-    lowering, and since rotation preserves magnitude and shifts angle,
-    atan2/|v| are precomputed OUTSIDE as vectorized streams and the
-    kernel works on normalize(in_phase - phase) (models/digital.
-    MeteorCostas uses the identical formulation so bit-equivalence holds;
-    pinned by tests).
-    """
-    n = re.shape[0]
+    ``order``: 2 / 4 / 8 (reference costas.h:25-38, streams = re/im), or
+    "meteor" (streams = atan2/|v| precomputed outside — Mosaic has no
+    atan2 lowering; models/digital.MeteorCostas uses the identical
+    phase-domain formulation so bit-equivalence holds)."""
     alpha = np.float32(alpha)
     beta = np.float32(beta)
     min_freq = np.float32(min_freq)
@@ -385,12 +372,42 @@ def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
 
         return body
 
+    return make_body
+
+
+def costas_streams(re: jax.Array, im: jax.Array, order):
+    """The two input streams the Costas kernel body consumes: re/im for
+    the uniform orders, atan2/|v| (vectorized outside the kernel) for
+    "meteor"."""
     re = re.astype(jnp.float32)
     im = im.astype(jnp.float32)
-    if meteor:
-        streams = [jnp.arctan2(im, re), jnp.sqrt(re * re + im * im)]
-    else:
-        streams = [re, im]
+    if order == "meteor":
+        return [jnp.arctan2(im, re), jnp.sqrt(re * re + im * im)]
+    return [re, im]
+
+
+def costas_phases_pallas(re: jax.Array, im: jax.Array, phase0, freq0,
+                         order, alpha, beta, min_freq, max_freq,
+                         interpret: bool = False):
+    """Sequential Costas recurrence -> (out_phases, phase_f, freq_f).
+
+    ``order``: 2 / 4 / 8, or "meteor" for the Meteor M2-x broken-
+    modulation error (models/digital.MeteorCostas._error: distance to the
+    nearest of 4 fixed constellation phases, scaled by amplitude).
+
+    The 2/4/8 errors need the ROTATED sample (reference costas.h:25-38),
+    so the complex input rides along as re/im planes and the kernel
+    rotates each sample by -phase scalar-wise; the output phases let the
+    (vectorized) caller apply the same rotation to produce the mixed-down
+    samples. The METEOR error is phase-domain: Mosaic has no atan2
+    lowering, and since rotation preserves magnitude and shifts angle,
+    atan2/|v| are precomputed OUTSIDE as vectorized streams and the
+    kernel works on normalize(in_phase - phase) (models/digital.
+    MeteorCostas uses the identical formulation so bit-equivalence holds;
+    pinned by tests).
+    """
+    make_body = _costas_make_body(order, alpha, beta, min_freq, max_freq)
+    streams = costas_streams(re, im, order)
     state = jnp.stack([jnp.asarray(phase0, jnp.float32),
                        jnp.asarray(freq0, jnp.float32)])
     out, fin = _dispatch_scan_call(make_body, state, streams, interpret)
@@ -547,14 +564,17 @@ class AGCPallas(AGC):
 # last W raw inputs forward so lane 0 of the next block warms up on real
 # history. SDRPP_TPU_LOOPS=exact restores the exact path everywhere.
 #
-# Costas deliberately has NO chunked variant: an order-N Costas loop has N
+# Costas needs one extra mechanism: an order-N Costas loop has N
 # indistinguishable lock points (costas.h's error is invariant under
 # k*2pi/N rotations), so independent lanes can each converge to a
-# DIFFERENT constellation rotation — harmless within a lane and through a
-# differential decoder, but a hard discontinuity at every seam, which the
-# reference's single sequential loop never produces. The PLL is
-# unambiguous (it tracks an explicit carrier/pilot) and the AGCs have a
-# unique fixed point, so only those chunk safely.
+# DIFFERENT constellation rotation — harmless within a lane, but a hard
+# discontinuity at every seam. costas_phases_chunked resolves it: each
+# lane's warm-up samples ARE its predecessor's payload tail, so the seam
+# rotation is directly measurable (circular-mean phase difference over
+# the overlap, rounded to the nearest multiple of 2pi/N) and a cumulative
+# correction snaps every lane into the carried exact frame. The "meteor"
+# broken-modulation error has a UNIQUE lock point (non-uniform
+# constellation spacing) and needs no alignment at all.
 
 
 def _lane_slice(ext, K, L, W):
@@ -697,6 +717,93 @@ def agc_gains_chunked(amps: jax.Array, hist: jax.Array, set_point, attack,
     return out, new_hist, fin[0, ..., -1], fin[1, ..., -1]
 
 
+def costas_phases_chunked(s1: jax.Array, s2: jax.Array, hist1: jax.Array,
+                          hist2: jax.Array, phase0, freq0, order, alpha,
+                          beta, min_freq, max_freq, lanes_k: int = 128,
+                          interpret: bool = False):
+    """Chunk-parallel Costas recurrence with seam rotation alignment.
+
+    ``s1``/``s2``: the kernel's stream convention (``costas_streams``):
+    re/im for order 2/4/8, atan2/|v| for "meteor". ``hist1``/``hist2``:
+    the previous block's last W stream samples (warm-up history).
+
+    Seeding: every lane's freq = the carried ``freq0`` refined (uniform
+    orders) by the M-th-power estimate over its warm-up window — raising
+    a PSK signal to the M-th power cancels the modulation, so the mean
+    normalized increment of M*angle(x)/M is a per-lane carrier-frequency
+    measurement; phase = ``phase0`` extrapolated at freq to the lane's
+    first warm-up sample. The warm-up absorbs the residual.
+
+    Rotation ambiguity: the order-M error (costas.h:25-38) is invariant
+    under k*2pi/M rotations, so a lane can settle one constellation
+    rotation away from its neighbor — the reason a chunked Costas was
+    previously ruled out. But the overlap region (lane j's warm-up
+    samples ARE lane j-1's payload tail) measures each seam's rotation
+    directly: the circular mean of the pairwise phase difference over the
+    warm-up tail rounds to a multiple of 2pi/M, and a cumulative
+    correction snaps every lane into lane 0's frame, which is itself
+    anchored to the carried exact state (seed + real history + the
+    lane-0-vs-``phase0`` anchor term). The "meteor" error is invariant
+    under NO rotation (its constellation spacings 0.77/1.70/1.69/2.12 rad
+    are non-uniform — breaking the QPSK ambiguity is the point of the
+    broken modulation), so its single lock point needs no alignment.
+
+    Returns (out_phases [..., n], new_hist1, new_hist2, phase_f, freq_f).
+    """
+    n = s1.shape[-1]
+    lead = s1.shape[:-1]
+    W = hist1.shape[-1]
+    K = lanes_k
+    two_pi = np.float32(2.0) * FL_PI
+    lanes, L, _ = _build_lanes([s1, s2], [hist1, hist2], K)
+    a, b = lanes  # [..., K, W+L]
+
+    phase0 = jnp.asarray(phase0, jnp.float32)
+    freq0 = jnp.asarray(freq0, jnp.float32)
+    meteor = order == "meteor"
+    if meteor:
+        seed_freq = jnp.broadcast_to(freq0[..., None], (*lead, K))
+    else:
+        M = np.float32(int(order))
+        ang = jnp.arctan2(b[..., :W], a[..., :W])
+        d = M * (ang[..., 1:] - ang[..., :-1])
+        d = jnp.mod(d + FL_PI, two_pi) - FL_PI
+        seed_freq = jnp.clip(jnp.mean(d, axis=-1) / M, np.float32(min_freq),
+                             np.float32(max_freq))
+    t0 = jnp.arange(K, dtype=jnp.float32) * np.float32(L) - np.float32(W)
+    seed_phase = phase0[..., None] + seed_freq * t0
+    seed_phase = jnp.mod(seed_phase + FL_PI, two_pi) - FL_PI
+
+    state = jnp.stack([seed_phase, seed_freq])
+    out, fin = _run_lanes(
+        _costas_make_body(order, alpha, beta, min_freq, max_freq),
+        state, lanes, interpret)
+
+    if meteor:
+        rot = jnp.zeros((*lead, K), jnp.float32)
+    else:
+        step_rot = two_pi / np.float32(int(order))
+        tail = min(W, 32)
+        # lane j's warm-up index t and lane j-1's payload index L+t hold
+        # the phase for the SAME input sample
+        d_seam = out[..., 1:, W - tail:W] - out[..., :-1, L + W - tail:L + W]
+        z = jnp.mean(jax.lax.complex(jnp.cos(d_seam), jnp.sin(d_seam)),
+                     axis=-1)
+        d_hat = jnp.arctan2(z.imag, z.real)  # [..., K-1]
+        d0 = out[..., 0, W] - phase0  # lane 0 at block sample 0 vs carry
+        d0 = jnp.mod(d0 + FL_PI, two_pi) - FL_PI
+        k_rot = jnp.round(jnp.concatenate(
+            [d0[..., None], d_hat], axis=-1) / step_rot)
+        rot = jnp.cumsum(k_rot, axis=-1) * step_rot
+
+    out = out[..., W:] - rot[..., None]
+    out = jnp.mod(out + FL_PI, two_pi) - FL_PI
+    out = out.reshape(*lead, K * L)[..., :n]
+    phase_f = jnp.mod(fin[0, ..., -1] - rot[..., -1] + FL_PI, two_pi) - FL_PI
+    return (out, s1[..., n - W:].astype(jnp.float32),
+            s2[..., n - W:].astype(jnp.float32), phase_f, fin[1, ..., -1])
+
+
 def _chunk_lanes_for(n: int, warmup: int, max_lanes: int,
                      channels: int = 1) -> int:
     """Per-channel lane count K with payloads >= 2x warm-up (bounding
@@ -824,3 +931,55 @@ class AGCChunked(AGCPallas):
             interpret=self.interpret)
         y = x * gains.astype(x.dtype) if jnp.iscomplexobj(x) else x * gains
         return {"amp": amp_f, "gain": gain_f, "hist": hist}, y
+
+
+class CostasChunked(CostasPallas):
+    """Costas loop (order 2/4/8), chunk-parallel on TPU for long 1-D/[C, n]
+    blocks with seam rotation alignment (see costas_phases_chunked — the
+    k*2pi/order lock ambiguity is measured on each lane-overlap region and
+    snapped out). State grows ``hist_re``/``hist_im`` buffers of the last
+    ``warmup`` input samples. Default warm-up 512 covers loop bandwidths
+    >= ~0.01 (>= 14 loop time constants); pass a longer one for narrower
+    loops. SDRPP_TPU_LOOPS=exact restores the sequential path."""
+
+    def __init__(self, *args, warmup: int = 512, max_lanes: int = 512,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.warmup = int(warmup)
+        self.max_lanes = int(max_lanes)
+
+    def init_state(self):
+        st = super().init_state()
+        # synthetic history: a locked constellation point riding the
+        # configured (init_phase, init_freq) carrier — zero loop error, so
+        # lane 0's first-block warm-up reproduces the exact loop's start
+        two_pi = np.float32(2.0) * FL_PI
+        t = jnp.arange(self.warmup, dtype=jnp.float32) - np.float32(self.warmup)
+        off = np.float32(0.0 if self.order == 2 else FL_PI / self.order)
+        ramp = self.init_phase + self.init_freq * t + off
+        ramp = jnp.mod(ramp + FL_PI, two_pi) - FL_PI
+        st["hist_re"] = jnp.broadcast_to(jnp.cos(ramp),
+                                         (*self.lead_shape, self.warmup))
+        st["hist_im"] = jnp.broadcast_to(jnp.sin(ramp),
+                                         (*self.lead_shape, self.warmup))
+        return st
+
+    def __call__(self, state, x):
+        C = 1 if x.ndim == 1 else int(np.prod(x.shape[:-1]))
+        k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes, C)
+        if x.ndim > 2 or k < 1 or C * k < 128 or \
+                (not self.interpret and not _pallas_on_tpu()):
+            sub = {"phase": state["phase"], "freq": state["freq"]}
+            sub, y = CostasPallas.__call__(self, sub, x)
+            keep = lambda h, s: jnp.concatenate(
+                [h, s.astype(jnp.float32)], axis=-1)[..., -self.warmup:]
+            return {**sub, "hist_re": keep(state["hist_re"], x.real),
+                    "hist_im": keep(state["hist_im"], x.imag)}, y
+        out_phases, hre, him, phase_f, freq_f = costas_phases_chunked(
+            x.real, x.imag, state["hist_re"], state["hist_im"],
+            state["phase"], state["freq"], self.order, self.alpha,
+            self.beta, self.min_freq, self.max_freq, lanes_k=k,
+            interpret=self.interpret)
+        lo = jax.lax.complex(jnp.cos(-out_phases), jnp.sin(-out_phases))
+        return {"phase": phase_f, "freq": freq_f, "hist_re": hre,
+                "hist_im": him}, x * lo

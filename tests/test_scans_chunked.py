@@ -223,3 +223,122 @@ def test_agc_chunked_batched_channels_match_exact():
     y1, y2 = np.asarray(y1), np.asarray(y2)
     rel = np.abs(y1 - y2) / np.maximum(np.abs(y1), 1e-3)
     assert np.percentile(rel, 99) < AGC_TOL, np.percentile(rel, 99)
+
+
+# ---------------------------------------------------------------------------
+# Chunked Costas (seam rotation alignment — ops/scans_pallas.py)
+# ---------------------------------------------------------------------------
+
+from sdrpp_tpu.ops.scans_pallas import (CostasChunked, CostasPallas,
+                                        costas_phases_chunked,
+                                        costas_streams)
+
+
+def _qpsk(n, fo=0.002, phi0=0.3, sps=8, seed=11, noise=0.0):
+    rng = np.random.default_rng(seed)
+    syms = rng.integers(0, 4, size=n // sps + 2)
+    mod = np.repeat(np.pi / 4 + np.pi / 2 * syms, sps)[:n]
+    x = np.exp(1j * (mod + fo * np.arange(n) + phi0)).astype(np.complex64)
+    if noise:
+        x += noise * (rng.standard_normal(n)
+                      + 1j * rng.standard_normal(n)).astype(np.complex64)
+    return x
+
+
+def test_costas_chunked_matches_exact_on_locked_qpsk():
+    """Order-4 chunked Costas payload phases match the exact sequential
+    loop on a locked QPSK stream (residual = both loops' own symbol
+    jitter), with NO k*pi/2 seam discontinuities."""
+    n, W = 32768, 128
+    x = _qpsk(2 * n)
+    kw = dict(order=4, bandwidth=0.01)
+    ref = CostasPallas(**kw, interpret=True)
+    chk = CostasChunked(**kw, warmup=W, max_lanes=512, interpret=True)
+    s1, s2 = ref.init_state(), chk.init_state()
+    for i in range(2):
+        blk = jnp.asarray(x[i * n:(i + 1) * n])
+        s1, y1 = ref(s1, blk)
+        s2, y2 = chk(s2, blk)
+    ph1 = -np.angle(np.asarray(y1) / x[n:])
+    ph2 = -np.angle(np.asarray(y2) / x[n:])
+    d = (ph1 - ph2 + np.pi) % (2 * np.pi) - np.pi
+    assert np.abs(d).max() < 0.1, np.abs(d).max()
+    # seam continuity: adjacent payload phase steps never jump a rotation
+    dd = np.diff(ph2)
+    dd = (dd + np.pi) % (2 * np.pi) - np.pi
+    assert np.abs(dd).max() < np.pi / 4, np.abs(dd).max()
+    np.testing.assert_allclose(float(s2["freq"]), 0.002, atol=1e-4)
+
+
+def test_costas_chunked_anchors_to_carried_rotation():
+    """The lane-0 anchor term: with a carried phase one QPSK rotation
+    (pi/2) away from the raw carrier, the aligned output stays in the
+    CARRIED frame — continuity with the previous block's constellation
+    mapping, exactly like the exact sequential loop."""
+    n, W, fo = 32768, 128, 0.001
+    x = _qpsk(W + n, fo=fo, phi0=0.0)
+    out, _, _, _, _ = costas_phases_chunked(
+        jnp.asarray(x.real[W:]), jnp.asarray(x.imag[W:]),
+        jnp.asarray(x.real[:W]), jnp.asarray(x.imag[:W]),
+        jnp.asarray(np.float32(np.pi / 2)), jnp.asarray(np.float32(fo)),
+        4, 0.03, 0.0005, -0.5, 0.5, lanes_k=64, interpret=True)
+    out = np.asarray(out)
+    want = fo * np.arange(W, W + n) + np.pi / 2
+    d = (out - want + np.pi) % (2 * np.pi) - np.pi
+    # loop jitter at symbol transitions, nowhere near a pi/2 (1.57) slip
+    assert np.abs(d[n // 4:]).max() < 0.05, np.abs(d[n // 4:]).max()
+
+
+def test_meteor_costas_chunked_tracks_unique_lock():
+    """The broken-modulation error has a UNIQUE lock point (non-uniform
+    constellation spacing), so chunked lanes all converge to the TRUE
+    carrier with no alignment step at all."""
+    from sdrpp_tpu.models.digital import MeteorCostas
+
+    n, W, fo = 32768, 512, 0.001
+    rng = np.random.default_rng(2)
+    syms = rng.integers(0, 4, size=(W + n) // 4 + 2)
+    mod = np.repeat(np.asarray(MeteorCostas.PHASES)[syms], 4)[:W + n]
+    x = np.exp(1j * (mod + fo * np.arange(W + n) + 0.2)).astype(np.complex64)
+    x += 0.02 * (rng.standard_normal(W + n)
+                 + 1j * rng.standard_normal(W + n)).astype(np.complex64)
+    s1, s2 = costas_streams(jnp.asarray(x.real), jnp.asarray(x.imag),
+                            "meteor")
+    out, _, _, _, ff = costas_phases_chunked(
+        s1[W:], s2[W:], s1[:W], s2[:W],
+        jnp.asarray(np.float32(0.2)), jnp.asarray(np.float32(fo)),
+        "meteor", 0.014, 0.0001, -0.5, 0.5, lanes_k=32, interpret=True)
+    out = np.asarray(out)
+    want = fo * np.arange(W, W + n) + 0.2
+    d = (out - want + np.pi) % (2 * np.pi) - np.pi
+    assert np.abs(d[n // 4:]).max() < 0.05, np.abs(d[n // 4:]).max()
+    np.testing.assert_allclose(float(ff), fo, atol=1e-4)
+
+
+def test_costas_chunked_exact_mode_is_bit_identical(monkeypatch):
+    monkeypatch.setattr(SP, "LOOPS_MODE", "exact")
+    n = 32768
+    x = jnp.asarray(_qpsk(n))
+    ref = CostasPallas(4, 0.01, interpret=True)
+    chk = CostasChunked(4, 0.01, warmup=128, interpret=True)
+    s1, y1 = ref(ref.init_state(), x)
+    s2, y2 = chk(chk.init_state(), x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    assert float(s1["phase"]) == float(s2["phase"])
+    assert float(s1["freq"]) == float(s2["freq"])
+
+
+def test_meteor_costas_scan_path_carries_hist():
+    """The CPU lax.scan fallback of models.digital.MeteorCostas maintains
+    the chunk warm-up history so a later chunked block warms on real
+    samples."""
+    from sdrpp_tpu.models.digital import MeteorCostas
+
+    mc = MeteorCostas(0.005, broken_modulation=True, warmup=256)
+    n = 2048
+    x = _qpsk(n, seed=3)
+    st = mc.init_state()
+    assert st["hist_re"].shape == (256,)
+    st, _ = mc(st, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(st["hist_re"]),
+                               x.real[-256:], atol=1e-6)

@@ -129,6 +129,9 @@ def main():
                   omega_gain=1e-6, mu_gain=0.01), na))
     guard("Meteor QPSK demod", lambda: speed_test(
         MeteorDemod(72000.0, 150000.0), na))
+    # chunk-parallel Costas engages at blocks >= 2*warmup*128 samples
+    guard("Meteor QPSK demod (chunked, 2^19)", lambda: speed_test(
+        MeteorDemod(72000.0, 150000.0), 1 << 19, iters=5))
 
     print(report_table(results))
 

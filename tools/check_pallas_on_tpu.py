@@ -129,6 +129,28 @@ def main():
 
     check("fast_agc_gains_chunked", _fast_agc_chunked)
 
+    def _costas_chunked():
+        from sdrpp_tpu.ops.scans_pallas import costas_phases_chunked
+        re = jnp.cos(xl)
+        im = jnp.sin(xl)
+        h = jnp.zeros(512, jnp.float32)
+        return jax.jit(lambda a, b: jnp.sum(costas_phases_chunked(
+            a, b, h + 1.0, h, 0.0, 0.0, 4, 0.03, 0.001, -1.0, 1.0,
+            lanes_k=128)[0]))(re, im)
+
+    check("costas_phases_chunked", _costas_chunked)
+
+    def _costas_chunked_meteor():
+        from sdrpp_tpu.ops.scans_pallas import (costas_phases_chunked,
+                                                costas_streams)
+        s1, s2 = costas_streams(jnp.cos(xl), jnp.sin(xl), "meteor")
+        h = jnp.zeros(512, jnp.float32)
+        return jax.jit(lambda a, b: jnp.sum(costas_phases_chunked(
+            a, b, h, h + 1.0, 0.0, 0.0, "meteor", 0.014, 0.0001, -1.0,
+            1.0, lanes_k=128)[0]))(s1, s2)
+
+    check("costas_phases_chunked_meteor", _costas_chunked_meteor)
+
     width = max(len(n) for n, _ in checks)
     failed = 0
     for name, status in checks:

@@ -50,6 +50,8 @@ from .scans_pallas import LOOPS_MODE, _pallas_on_tpu
 
 __all__ = ["MMClockRecoveryChunked", "mm_symbols_chunked"]
 
+_UNROLL = 4  # symbols per scan step (share one window slice)
+
 
 def _emit_lanes(x, hist, K, W, T):
     """[n] stream + [W+T-1] history -> [K, W + L + T - 1] overlapping
@@ -95,8 +97,14 @@ def mm_symbols_chunked(x, hist, offset0, phase0, freq0, err0, bank,
 
     omega = float((min_freq + max_freq) / 2.0)
     pad_e = int(np.ceil(omega))
-    # shared-window height: one symbol of start spread + taps + margin
-    R = int(np.ceil(max_freq)) + T + 8
+    # U symbols per scan step share ONE window slice (the scan-step fixed
+    # overheads — dynamic slice, min-reduce, bookkeeping — dominate the
+    # masked-sum arithmetic, so amortize them)
+    U = _UNROLL
+    stride_max = int(np.ceil(max_freq))
+    # shared-window height: one symbol of start spread + taps + margin,
+    # plus the U-1 extra strides the unrolled symbols advance
+    R = int(np.ceil(max_freq)) + T + 8 + (U - 1) * stride_max
     R = min(cols, -(-R // 8) * 8)
 
     # --- seeding: every lane must start ON the symbol grid ------------
@@ -151,67 +159,80 @@ def mm_symbols_chunked(x, hist, offset0, phase0, freq0, err0, bank,
     iota_r = jnp.arange(R, dtype=jnp.int32)[:, None]       # [R, 1]
     iota_p = jnp.arange(P, dtype=jnp.int32)[None, :]       # [1, P]
 
+    kvec = jnp.arange(T, dtype=jnp.int32)[:, None, None]   # [T, 1, 1]
+
     def step(carry, _):
-        offset, phase, freq = carry[0], carry[1], carry[2]
-        err_state = carry[3:]
-        active = offset < emit_hi
-        o_eff = jnp.clip(offset, 0, cols - T)
-        r0 = jnp.clip(jnp.min(o_eff), 0, cols - R)
+        # one window slice serves U consecutive symbols (offsets advance
+        # at most stride_max per symbol; R budgets for all U)
+        r0 = jnp.clip(jnp.min(jnp.clip(carry[0], 0, cols - T)),
+                      0, cols - R)
         win_re = jax.lax.dynamic_slice(lre, (r0, 0), (R, K))
         win_im = jax.lax.dynamic_slice(lim, (r0, 0), (R, K)) if cplx else None
-        rel = o_eff - r0
-        ok = rel <= R - T
-        rel = jnp.clip(rel, 0, R - T)
+        win = jnp.stack([win_re, win_im]) if cplx else win_re[None]
 
-        ph_idx = jnp.clip(jnp.floor(phase * P).astype(jnp.int32), 0, P - 1)
-        taps = jnp.matmul((ph_idx[:, None] == iota_p).astype(jnp.float32),
-                          bank, precision=jax.lax.Precision.HIGHEST)  # [K, T]
+        outs = []
+        for _u in range(U):
+            offset, phase, freq = carry[0], carry[1], carry[2]
+            err_state = carry[3:]
+            active = offset < emit_hi
+            o_eff = jnp.clip(offset, 0, cols - T)
+            rel = o_eff - r0
+            ok = (rel >= 0) & (rel <= R - T)
+            rel = jnp.clip(rel, 0, R - T)
 
-        outr = jnp.zeros((K,), jnp.float32)
-        outi = jnp.zeros((K,), jnp.float32) if cplx else None
-        for k in range(T):
-            msk = (iota_r == (rel + k)[None, :]).astype(jnp.float32)
-            outr = outr + jnp.sum(win_re * msk, axis=0) * taps[:, k]
+            ph_idx = jnp.clip(jnp.floor(phase * P).astype(jnp.int32),
+                              0, P - 1)
+            taps = jnp.matmul(
+                (ph_idx[:, None] == iota_p).astype(jnp.float32), bank,
+                precision=jax.lax.Precision.HIGHEST)       # [K, T]
+            # [T, R, K] one-hot window masks -> [planes, T, K] tap inputs
+            msk = (iota_r[None] == (rel[None, None, :] + kvec)
+                   ).astype(jnp.float32)
+            wsel = jnp.einsum("trk,prk->ptk", msk, win)
+            o = jnp.einsum("ptk,kt->pk", wsel, taps)
+            outr = o[0]
+            outi = o[1] if cplx else None
+
             if cplx:
-                outi = outi + jnp.sum(win_im * msk, axis=0) * taps[:, k]
+                p1r, p1i, p2r, p2i, c1r, c1i, c2r, c2i = err_state
+                c0r = jnp.where(outr > 0, one, -one)
+                c0i = jnp.where(outi > 0, one, -one)
+                error = ((outr - p2r) * c1r + (outi - p2i) * c1i) \
+                    - ((c0r - c2r) * p1r + (c0i - c2i) * p1i)
+                new_err = (outr, outi, p1r, p1i, c0r, c0i, c1r, c1i)
+            else:
+                last = err_state[0]
+                error = jnp.where(last > 0, one, -one) * outr \
+                    - last * jnp.where(outr > 0, one, -one)
+                new_err = (outr,)
+            error = jnp.clip(error, -one, one)
 
-        if cplx:
-            p1r, p1i, p2r, p2i, c1r, c1i, c2r, c2i = err_state
-            c0r = jnp.where(outr > 0, one, -one)
-            c0i = jnp.where(outi > 0, one, -one)
-            error = ((outr - p2r) * c1r + (outi - p2i) * c1i) \
-                - ((c0r - c2r) * p1r + (c0i - c2i) * p1i)
-            new_err = (outr, outi, p1r, p1i, c0r, c0i, c1r, c1i)
-        else:
-            last = err_state[0]
-            error = jnp.where(last > 0, one, -one) * outr \
-                - last * jnp.where(outr > 0, one, -one)
-            new_err = (outr,)
-        error = jnp.clip(error, -one, one)
+            new_freq = jnp.clip(freq + og * error, fmin, fmax)
+            new_phase = phase + new_freq + mu * error
+            delta = jnp.floor(new_phase)
+            new_offset = offset + delta.astype(jnp.int32)
+            new_phase = new_phase - delta
 
-        new_freq = jnp.clip(freq + og * error, fmin, fmax)
-        new_phase = phase + new_freq + mu * error
-        delta = jnp.floor(new_phase)
-        new_offset = offset + delta.astype(jnp.int32)
-        new_phase = new_phase - delta
-
-        emit = active & ok & (offset >= emit_lo)
-        pos = lane_goff + offset.astype(jnp.float32) + phase
-        emit = emit & (pos < np.float32(n))
-        sel = lambda a, b: jnp.where(active, a, b)  # noqa: E731
-        out = (jnp.where(emit, outr, 0.0),
-               (jnp.where(emit, outi, 0.0) if cplx else None),
-               jnp.where(emit, pos, np.float32(np.inf)),
-               emit)
-        carry = (sel(new_offset, offset), sel(new_phase, phase),
-                 sel(new_freq, freq)) + tuple(
-                     sel(a, b) for a, b in zip(new_err, err_state))
+            emit = active & ok & (offset >= emit_lo)
+            pos = lane_goff + offset.astype(jnp.float32) + phase
+            emit = emit & (pos < np.float32(n))
+            sel = lambda a, b: jnp.where(active, a, b)  # noqa: E731
+            outs.append((jnp.where(emit, outr, 0.0),
+                         (jnp.where(emit, outi, 0.0) if cplx else None),
+                         jnp.where(emit, pos, np.float32(np.inf)),
+                         emit))
+            carry = (sel(new_offset, offset), sel(new_phase, phase),
+                     sel(new_freq, freq)) + tuple(
+                         sel(a, b) for a, b in zip(new_err, err_state))
+        out = tuple(None if vs[0] is None else jnp.stack(vs)
+                    for vs in zip(*outs))
         return carry, out
 
     msc = int(np.ceil((L + W + T) / float(min_freq))) + 1
+    msc = U * (-(-msc // U))
     carry0 = (off_j, ph_j, fr_j) + err_init
     carry_f, (sr, si, pos, emit) = jax.lax.scan(
-        step, carry0, None, length=msc)
+        step, carry0, None, length=msc // U)
 
     # [msc, K] -> flatten, order by global position, dedup seam doubles
     pos = pos.reshape(-1)
@@ -273,8 +294,9 @@ class MMClockRecoveryChunked(MMClockRecoveryPallas):
         if k >= 128 and (self.interpret or _pallas_on_tpu()):
             L = -(-n // k)
             W = self.warmup
-            return k * (int(np.ceil((L + W + self.tap_count)
-                                    / float(self.min_freq))) + 1)
+            msc = int(np.ceil((L + W + self.tap_count)
+                              / float(self.min_freq))) + 1
+            return k * _UNROLL * (-(-msc // _UNROLL))
         return super().max_symbols(n)
 
     def __call__(self, state, x):

@@ -21,8 +21,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import taps as taps_mod
-from ..ops.clock_recovery_pallas import MMClockRecoveryPallas as \
-    MMClockRecovery  # Pallas scalar kernel on TPU, lax.scan elsewhere
+from ..ops.clock_recovery_chunked import MMClockRecoveryChunked as \
+    MMClockRecovery  # chunk-parallel on TPU for long 1-D blocks;
+    # falls back to the scalar Pallas/lax.scan kernel for short blocks,
+    # [C, n] banks, and SDRPP_TPU_LOOPS=exact
 from ..ops.fir import FIR
 from ..ops.fm import Quadrature
 from ..ops.scans import FL_PI, _normalize_phase, _pcl_advance, \

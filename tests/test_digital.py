@@ -165,6 +165,41 @@ def test_meteor_demod_qpsk():
     assert hist.max() > 0.5 * hist.sum(), hist
 
 
+def test_meteor_chain_chunked_mm_matches_exact():
+    """Chain-level A/B: MeteorDemod with the chunk-parallel MM engaged
+    (the default TPU path now that models/digital.py wires
+    MMClockRecoveryChunked) vs the exact sequential loop — same symbol
+    count and identical QPSK decisions after lock."""
+    rng = np.random.default_rng(7)
+    sps = 150000.0 / 72000.0
+    n = 1 << 18
+    nsym = int(n / sps) + 8
+    qpsk = np.exp(1j * (np.pi / 4 + np.pi / 2 * rng.integers(0, 4, nsym)))
+    tsym = np.arange(n) / sps
+    k = np.floor(tsym).astype(int)
+    x = qpsk[np.clip(k, 0, nsym - 1)].astype(np.complex64)
+
+    def run(d, interpret):
+        d.recov.interpret = interpret  # forces the chunked path on CPU
+        st = d.init_state()
+        outs = []
+        for blk in np.split(x, 2):
+            st, (syms, valid) = jax.jit(d)(st, jnp.asarray(blk))
+            outs.append(np.asarray(syms)[np.asarray(valid).astype(bool)])
+        return np.concatenate(outs)
+
+    kw = dict(symbolrate=72000.0, samplerate=150000.0,
+              costas_bandwidth=0.01, agc_rate=0.01)
+    ref = run(MeteorDemod(**kw), False)
+    chk = run(MeteorDemod(**kw), True)
+    assert abs(len(ref) - len(chk)) <= 2, (len(ref), len(chk))
+    m = min(len(ref), len(chk))
+    a, b = ref[256:m], chk[256:m]
+    match = np.mean((np.sign(a.real) == np.sign(b.real))
+                    & (np.sign(a.imag) == np.sign(b.imag)))
+    assert match > 0.999, match
+
+
 def test_fd_clock_recovery():
     from sdrpp_tpu.ops.clock_recovery import FDClockRecovery
     rng = np.random.default_rng(5)

@@ -151,6 +151,20 @@ def main():
 
     check("costas_phases_chunked_meteor", _costas_chunked_meteor)
 
+    def _mm_chunked():
+        from sdrpp_tpu.ops.clock_recovery_chunked import mm_symbols_chunked
+        sig = jax.lax.complex(jnp.cos(xl), jnp.sin(xl))
+        h = jnp.zeros(512 + mm.tap_count - 1, jnp.complex64)
+        return jax.jit(lambda s: jnp.sum(mm_symbols_chunked(
+            s, h, jnp.zeros((), jnp.int32), jnp.float32(0.0),
+            jnp.float32(150000.0 / 72000.0), None, mm.bank,
+            0.01, 0.001,
+            np.float32(150000.0 / 72000.0 * 0.99),
+            np.float32(150000.0 / 72000.0 * 1.01),
+            lanes_k=128, warmup=512)[0].real))(sig)
+
+    check("mm_symbols_chunked", _mm_chunked)
+
     width = max(len(n) for n, _ in checks)
     failed = 0
     for name, status in checks:

@@ -37,6 +37,17 @@ timing-locked stream with W >> the loop's convergence time, the emitted
 symbol sequence matches the sequential loop's (same count, same values
 to interpolation tolerance); SDRPP_TPU_LOOPS=exact (or a short block)
 falls back to the sequential kernel bit-identically.
+
+Noise contract (tests/test_chunked_stress.py, measured bounds): with
+AWGN at Eb/N0 = 5 dB (the top of the LRPT operating band; below ~4 dB
+the EXACT loop itself leaves its envelope), windowed SER degradation vs
+the exact loop is <= 1% absolute with <= 2 timing slips per 2^18
+samples. A clock-rate error of 0.8% with omega_rel_limit = 1% pulls in
+identically to the exact loop (same count, 100% matching decisions). A
+squelched (all-zero) stretch covering several lane warm-up windows
+produces no NaNs; post-gap lanes re-seed data-aided and the tail
+re-locks to zero errors, though symbol COUNTS inside the gap region may
+differ from the exact loop's free-run by a few.
 """
 
 from __future__ import annotations

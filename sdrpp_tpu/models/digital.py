@@ -157,7 +157,7 @@ class MeteorCostas(Block):
             [h, s.astype(jnp.float32)], axis=-1)[..., -self.warmup:]
         k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes)
 
-        if x.ndim == 1 and k >= 128 and _pallas_on_tpu():
+        if x.ndim == 1 and k >= 1 and _pallas_on_tpu():
             s1, s2 = costas_streams(x.real, x.imag, order)
             h1, h2 = costas_streams(state["hist_re"], state["hist_im"], order)
             out_phases, _, _, ph, fr = costas_phases_chunked(

@@ -57,7 +57,7 @@ import jax
 import jax.numpy as jnp
 
 from .clock_recovery_pallas import MMClockRecoveryPallas
-from .scans_pallas import LOOPS_MODE, _pallas_on_tpu
+from .scans_pallas import _pallas_on_tpu
 
 __all__ = ["MMClockRecoveryChunked", "mm_symbols_chunked"]
 
@@ -295,14 +295,12 @@ class MMClockRecoveryChunked(MMClockRecoveryPallas):
         return st
 
     def _lanes_for(self, n: int) -> int:
-        if LOOPS_MODE == "exact":
-            return 0
-        k = min(self.max_lanes, n // (2 * self.warmup))
-        return (k // 128) * 128
+        from .scans_pallas import _chunk_lanes_for
+        return _chunk_lanes_for(n, self.warmup, self.max_lanes)
 
     def max_symbols(self, n: int) -> int:
         k = self._lanes_for(n)
-        if k >= 128 and (self.interpret or _pallas_on_tpu()):
+        if k >= 1 and (self.interpret or _pallas_on_tpu()):
             L = -(-n // k)
             W = self.warmup
             msc = int(np.ceil((L + W + self.tap_count)
@@ -312,7 +310,7 @@ class MMClockRecoveryChunked(MMClockRecoveryPallas):
 
     def __call__(self, state, x):
         k = self._lanes_for(x.shape[-1])
-        if x.ndim != 1 or k < 128 or \
+        if x.ndim != 1 or k < 1 or \
                 not (self.interpret or _pallas_on_tpu()):
             sub = {kk: v for kk, v in state.items() if kk != "hist"}
             sub, out = super().__call__(sub, x)

@@ -828,15 +828,31 @@ def costas_phases_chunked(s1: jax.Array, s2: jax.Array, hist1: jax.Array,
 
 def _chunk_lanes_for(n: int, warmup: int, max_lanes: int,
                      channels: int = 1) -> int:
-    """Per-channel lane count K with payloads >= 2x warm-up (bounding
-    warm-up overhead at 33%), granular so channels*K is a multiple of the
-    128-lane tile; 0 = don't chunk."""
-    import math
+    """Per-channel lane count K minimizing the VPU-tile cost model
+    ``ceil(channels*K / 128) * (W + ceil(n/K))`` — sequential steps times
+    occupied 128-lane tiles. Lane counts below a full tile are allowed
+    (a [*, K] array with K < 128 occupies one tile either way), which is
+    what engages mid-size blocks: n = 16k with W = 512 runs K = 32 lanes
+    at a 4x-shorter scan instead of falling back to the exact kernel
+    (the round-2 dead zone). Returns 0 (don't chunk) unless the best
+    chunked cost beats HALF the exact kernel's ``ceil(channels/128)*n``
+    — the 2x margin keeps the approximation out of blocks too short to
+    meaningfully win."""
     if LOOPS_MODE == "exact" or warmup <= 0:
         return 0
-    k = min(max_lanes, n // (2 * warmup))
-    m = 128 // math.gcd(channels, 128)
-    return (k // m) * m
+    best_k, best_cost = 0, None
+    for k in range(1, max_lanes + 1):
+        L = -(-n // k)
+        if L < warmup:
+            break
+        lanes = channels * k
+        cost = -(-lanes // 128) * (warmup + L)
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    exact_cost = -(-channels // 128) * n
+    if best_k < 2 or best_cost is None or 2 * best_cost > exact_cost:
+        return 0
+    return best_k
 
 
 class PLLChunked(PLLPallas):
@@ -867,7 +883,7 @@ class PLLChunked(PLLPallas):
         in_phase = jnp.arctan2(x.imag, x.real)
         C = 1 if x.ndim == 1 else int(np.prod(x.shape[:-1]))
         k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes, C)
-        if x.ndim > 2 or k < 1 or C * k < 128 or \
+        if x.ndim > 2 or k < 1 or \
                 (not self.interpret and not _pallas_on_tpu()):
             sub = {"phase": state["phase"], "freq": state["freq"]}
             sub, y = PLLPallas.__call__(self, sub, x)
@@ -903,7 +919,7 @@ class FastAGCChunked(FastAGCPallas):
         amps = jnp.abs(x)
         C = 1 if x.ndim == 1 else int(np.prod(x.shape[:-1]))
         k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes, C)
-        if x.ndim > 2 or k < 1 or C * k < 128 or \
+        if x.ndim > 2 or k < 1 or \
                 (not self.interpret and not _pallas_on_tpu()):
             gain_f, y = FastAGCPallas.__call__(self, state["gain"], x)
             hist = jnp.concatenate([state["hist"], amps],
@@ -940,7 +956,7 @@ class AGCChunked(AGCPallas):
         amps = jnp.abs(x)
         C = 1 if x.ndim == 1 else int(np.prod(x.shape[:-1]))
         k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes, C)
-        if x.ndim > 2 or not self.enabled or k < 1 or C * k < 128 or \
+        if x.ndim > 2 or not self.enabled or k < 1 or \
                 (not self.interpret and not _pallas_on_tpu()):
             sub = {"amp": state["amp"], "gain": state["gain"]}
             sub, y = AGCPallas.__call__(self, sub, x)
@@ -989,7 +1005,7 @@ class CostasChunked(CostasPallas):
     def __call__(self, state, x):
         C = 1 if x.ndim == 1 else int(np.prod(x.shape[:-1]))
         k = _chunk_lanes_for(x.shape[-1], self.warmup, self.max_lanes, C)
-        if x.ndim > 2 or k < 1 or C * k < 128 or \
+        if x.ndim > 2 or k < 1 or \
                 (not self.interpret and not _pallas_on_tpu()):
             sub = {"phase": state["phase"], "freq": state["freq"]}
             sub, y = CostasPallas.__call__(self, sub, x)

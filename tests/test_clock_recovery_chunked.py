@@ -94,7 +94,7 @@ def test_mm_chunked_complex_matches_sequential():
 
 
 def test_mm_chunked_falls_back_on_short_blocks():
-    sig, sps = _bpsk_real(8192)
+    sig, sps = _bpsk_real(1024)  # <= 2*W: chunking cannot win, exact path
     kw = dict(omega=sps, omega_gain=0.001, mu_gain=0.01,
               omega_rel_limit=0.01, complex_input=False)
     ref = MMClockRecovery(**kw)
@@ -110,9 +110,9 @@ def test_mm_chunked_falls_back_on_short_blocks():
 
 
 def test_mm_chunked_exact_mode_is_sequential(monkeypatch):
-    import sdrpp_tpu.ops.clock_recovery_chunked as CRC
+    import sdrpp_tpu.ops.scans_pallas as SP
 
-    monkeypatch.setattr(CRC, "LOOPS_MODE", "exact")
+    monkeypatch.setattr(SP, "LOOPS_MODE", "exact")
     sig, sps = _bpsk_real(1 << 17)
     kw = dict(omega=sps, omega_gain=0.001, mu_gain=0.01,
               omega_rel_limit=0.01, complex_input=False)
@@ -147,3 +147,23 @@ def test_mm_chunked_positions_strictly_monotone():
     d = d[200:]
     assert d.min() > sps / 2, d.min()
     assert d.max() < 1.5 * sps, d.max()
+
+
+def test_mm_chunked_engages_midsize_block():
+    """8k blocks now chunk (k = 16 sub-tile lanes, the round-2 dead
+    zone): same count, 100% matching decisions vs the sequential loop.
+    Interpolated VALUES carry a looser bound than the 2^18-block contract
+    (0.12 vs 0.05 mean abs): short lane payloads (~51 symbols at k=16)
+    leave more of each lane still converging toward the exact loop's
+    timing trajectory — decisions are unaffected, and modes that consume
+    soft symbols (LRPT) run 2^19+ blocks where the tight bound holds."""
+    sig, sps = _bpsk_real(1 << 15)
+    kw = dict(omega=sps, omega_gain=0.001, mu_gain=0.01,
+              omega_rel_limit=0.01, complex_input=False)
+    chk = MMClockRecoveryChunked(**kw, warmup=512, interpret=True)
+    assert chk._lanes_for(1 << 13) == 16
+    r, c, _, _ = _run_pair(sig, MMClockRecovery(**kw), chk, blocks=4)
+    assert abs(len(r) - len(c)) <= 1, (len(r), len(c))
+    m = min(len(r), len(c))
+    assert np.mean(np.sign(r[200:m]) == np.sign(c[200:m])) == 1.0
+    assert np.mean(np.abs(r[200:m] - c[200:m])) < 0.12

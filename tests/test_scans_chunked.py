@@ -147,9 +147,9 @@ def test_chunked_exact_mode_is_bit_identical(monkeypatch):
 
 
 def test_chunked_falls_back_exact_on_short_blocks():
-    """Blocks too short to amortize warm-up (k < 128 lanes) use the exact
+    """Blocks too short to fit two warm-up lanes (k < 2) use the exact
     path — bit-identical, and the hist carry still updates."""
-    n = 4096  # < 2*W*128 for W=64
+    n = 96  # < 2*W for W=64: no lane split possible
     x = jnp.asarray(_pilot_tone(n, seed=5))
     ref, chk = _pilot_pll_pair(64)
     s1, y1 = ref(ref.init_state(), x)
@@ -161,7 +161,7 @@ def test_chunked_falls_back_exact_on_short_blocks():
 
 
 def test_chunked_falls_back_on_batched_input():
-    n, C = 2048, 3
+    n, C = 96, 3  # blocks too short to chunk: exact lane-batched path
     x = np.stack([_pilot_tone(n, seed=6 + c) for c in range(C)])
     kw = dict(bandwidth=25000.0 / FS, init_phase=0.0, init_freq=_hz(19000.0),
               min_freq=_hz(18750.0), max_freq=_hz(19250.0), lead_shape=(C,))
@@ -342,3 +342,48 @@ def test_meteor_costas_scan_path_carries_hist():
     st, _ = mc(st, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(st["hist_re"]),
                                x.real[-256:], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Mid-size blocks (the round-2 "dead zone"): the tile-cost model now engages
+# k < 128 lanes — a [*, K] array with K < 128 occupies one VPU tile either
+# way, so a 16k block runs 32 lanes at a 4x-shorter scan instead of falling
+# back to the exact kernel.
+
+
+def test_pll_chunked_engages_midsize_block():
+    n, W = 16384, 512
+    x = _pilot_tone(2 * n, seed=7)
+    kw = dict(bandwidth=25000.0 / FS, init_phase=0.0, init_freq=_hz(19000.0),
+              min_freq=_hz(18750.0), max_freq=_hz(19250.0))
+    ref = PLLPallas(**kw, interpret=True)
+    chk = PLLChunked(**kw, warmup=W, max_lanes=512, interpret=True)
+    assert SP._chunk_lanes_for(n, W, 512) == 32  # engaged, sub-tile lanes
+    s1, s2 = ref.init_state(), chk.init_state()
+    for i in range(2):
+        blk = jnp.asarray(x[i * n:(i + 1) * n])
+        s1, y1 = ref(s1, blk)
+        s2, y2 = chk(s2, blk)
+        err = np.abs(np.asarray(y1) - np.asarray(y2))
+        assert err.max() < PLL_TOL, (i, err.max())
+
+
+def test_agc_chunked_engages_midsize_block():
+    """AGC at its radio-chain warm-up (2048) on a 16k block: k = 8 lanes
+    — the AM-demod default block is no longer AGC-scan-bound."""
+    n, W = 16384, 2048
+    rng = np.random.default_rng(8)
+    env = (1.0 + 0.5 * np.sin(2 * np.pi * np.arange(2 * n) / n)).astype(np.float32)
+    x = (env * np.abs(rng.standard_normal(2 * n))).astype(np.float32)
+    args = (1.0, 0.1, 0.05, 1e4, 10.0)
+    ref = AGCPallas(*args, interpret=True)
+    chk = AGCChunked(*args, warmup=W, max_lanes=512, interpret=True)
+    assert SP._chunk_lanes_for(n, W, 512) == 8
+    s1, s2 = ref.init_state(), chk.init_state()
+    for i in range(2):
+        blk = jnp.asarray(x[i * n:(i + 1) * n])
+        s1, y1 = ref(s1, blk)
+        s2, y2 = chk(s2, blk)
+        y1, y2 = np.asarray(y1), np.asarray(y2)
+        rel = np.abs(y1 - y2) / np.maximum(np.abs(y1), 1e-3)
+        assert np.percentile(rel, 99) < AGC_TOL, (i, np.percentile(rel, 99))

@@ -6,17 +6,26 @@ Two configs, one chip, one JSON line:
    block through the complete receive chain — power-of-2 decimation
    cascade (/256, the IQFrontEnd preprocessor role,
    core/src/signal_path/iq_frontend.cpp:230-249) -> 64-channel shared-FFT
-   channelizer (the RxVFO bank, rx_vfo.h:102-114) -> quadrature NFM
-   demod -> per-channel audio FIR. ``value`` = INPUT-samples/s consumed
-   by the whole chain: every input sample passes through every stage, so
-   this is the unambiguous "aggregate IQ throughput through
+   channelizer (the RxVFO bank, rx_vfo.h:102-114) -> per-channel Squelch
+   (the radio IF-chain scan stage, radio_module.h:68-79) -> quadrature
+   NFM demod -> per-channel audio FIR. ``value`` = INPUT-samples/s
+   consumed by the whole chain: every input sample passes through every
+   stage, so this is the unambiguous "aggregate IQ throughput through
    mix + FIR + demod" of the BASELINE north star (>= 1 Gsample/s on a
    v5p-16 slice) with no channels-x-rate arithmetic.
 
-2. AGGREGATE (reported in ``unit``): the round-1 metric — the same
+2. AGGREGATE + SSB (reported in ``unit``): the round-1 metric — the same
    64-channel NFM bank at 6.144 Msps, counting channels x input-rate
    (the per-VFO thread chains of the reference become one batched
-   computation; SURVEY.md §2.15).
+   computation; SURVEY.md §2.15) — plus BASELINE config #4's actual mode
+   family: a 64-channel SSB bank with Squelch + auto AGC in the path.
+
+Calibration (VERDICT r2 #6): the known-FLOPs matmul calibration runs
+right after the headline chain AND after the bank chains; both readings
+land in the JSON (unit string + a ``calibration`` object), and a reading
+below 50% of the known-healthy band (69-79 TFLOP/s) retries the whole
+attempt — only the final attempt accepts a degraded tunnel, flagged
+DEGRADED-TUNNEL in the unit.
 
 Timing note: on the axon TPU tunnel, block_until_ready returns at dispatch;
 real synchronization = reading back a jit output. The harness times N
@@ -87,12 +96,16 @@ def _deadline(seconds: int):
 
 
 def _make_bank():
-    """The 64-channel NFM scanner bank (BASELINE config #4's chain)."""
+    """The 64-channel NFM scanner bank (BASELINE config #4's chain,
+    scan stages INSIDE the measured path: per-channel Squelch between
+    the channelizer and the demod, the radio module's IF-chain position,
+    decoder_modules/radio/src/radio_module.h:68-79)."""
     import jax.numpy as jnp
 
     from sdrpp_tpu.ops.channelizer import FFTChannelizerBank
     from sdrpp_tpu.ops.fm import Quadrature
     from sdrpp_tpu.ops.fir import FIR
+    from sdrpp_tpu.ops.scans import Squelch
     from sdrpp_tpu.ops import taps as taps_mod
 
     offsets = np.linspace(-FS_MID * 0.4, FS_MID * 0.4, CHANNELS)
@@ -101,10 +114,30 @@ def _make_bank():
     # against the time-domain mix -> FIR -> decimate oracle to 5e-5
     # (tests/test_channelizer.py).
     vfo = FFTChannelizerBank(offsets, FS_MID, IF_RATE, bandwidth=BANDWIDTH)
+    # level far below the noise floor: the squelch state machine runs its
+    # full per-frame compute but stays OPEN, so the chain's demod work is
+    # not skipped (a muted chain would be an inflation trap the other way)
+    squelch = Squelch(-100.0, sub_blocks=1, lead_shape=(CHANNELS,))
     demod = Quadrature(BANDWIDTH / 2.0, IF_RATE, lead_shape=(CHANNELS,))
     audio_taps = taps_mod.low_pass(BANDWIDTH / 2.0, BANDWIDTH * 0.05, IF_RATE)
     audio_fir = FIR(audio_taps, dtype=jnp.float32, lead_shape=(CHANNELS,))
-    return vfo, demod, audio_fir
+    return vfo, squelch, demod, audio_fir
+
+
+def _make_ssb_bank():
+    """BASELINE config #4's actual mode family: a 64-channel SSB bank —
+    channelizer -> per-channel Squelch -> SSB product demod with the
+    radio module's auto AGC (attack 50/fs, decay 5/fs; ssb.h:9-134)."""
+    from sdrpp_tpu.ops.channelizer import FFTChannelizerBank
+    from sdrpp_tpu.ops.scans import Squelch
+    from sdrpp_tpu.models.analog import SSBDemod
+
+    offsets = np.linspace(-FS_MID * 0.4, FS_MID * 0.4, CHANNELS)
+    vfo = FFTChannelizerBank(offsets, FS_MID, IF_RATE, bandwidth=BANDWIDTH)
+    squelch = Squelch(-100.0, sub_blocks=1, lead_shape=(CHANNELS,))
+    demod = SSBDemod(mode="usb", bandwidth=2700.0, samplerate=IF_RATE,
+                     lead_shape=(CHANNELS,))
+    return vfo, squelch, demod
 
 
 def _measure(step, make_state, x, iters: int) -> float:
@@ -133,7 +166,7 @@ def _bench_wideband(use_cpu: bool) -> float:
     from sdrpp_tpu.ops.resample import PowerDecimator
 
     pre = PowerDecimator(PRE_DECIM)
-    vfo, demod, audio_fir = _make_bank()
+    vfo, squelch, demod, audio_fir = _make_bank()
 
     # 2^24 wideband samples per chain block (2^22 on CPU to keep the
     # fallback path inside its deadline); K blocks inside ONE jit.
@@ -157,17 +190,18 @@ def _bench_wideband(use_cpu: bool) -> float:
             x = jax.lax.complex(x[0], x[1])
             ps, x = pre(st[0], x)
             vs, y = vfo(st[1], x)
-            qs, y = demod(st[2], y)
-            fs, y = audio_fir(st[3], y)
+            ss, y = squelch(st[2], y)
+            qs, y = demod(st[3], y)
+            fs, y = audio_fir(st[4], y)
             c = jnp.sum(y.astype(jnp.float32))
-            return ((ps, vs, qs, fs), c * np.float32(1e-20)), c
+            return ((ps, vs, ss, qs, fs), c * np.float32(1e-20)), c
 
         (state, _), cs = jax.lax.scan(body, (state, jnp.float32(0.0)),
                                       None, length=K)
         return state, jnp.sum(cs)
 
     make_state = jax.jit(lambda: (pre.init_state(), vfo.init_state(),
-                                  demod.init_state(),
+                                  squelch.init_state(), demod.init_state(),
                                   audio_fir.init_state()))
     per_step = _measure(step, make_state, base,
                         iters=8 if use_cpu else 16)
@@ -179,7 +213,7 @@ def _bench_aggregate(use_cpu: bool) -> float:
     import jax
     import jax.numpy as jnp
 
-    vfo, demod, audio_fir = _make_bank()
+    vfo, squelch, demod, audio_fir = _make_bank()
     n = 1 << 18
     assert n % vfo.block_multiple == 0
     K = 8
@@ -195,34 +229,91 @@ def _bench_aggregate(use_cpu: bool) -> float:
         def body(st, xs):
             x = jax.lax.complex(xs[0], xs[1])
             vs, y = vfo(st[0], x)
-            qs, y = demod(st[1], y)
-            fs, y = audio_fir(st[2], y)
+            ss, y = squelch(st[1], y)
+            qs, y = demod(st[2], y)
+            fs, y = audio_fir(st[3], y)
             # full reduction: a partial slice would let XLA dead-code-
             # eliminate most of the chain
-            return (vs, qs, fs), jnp.sum(y.astype(jnp.float32))
+            return (vs, ss, qs, fs), jnp.sum(y.astype(jnp.float32))
 
         state, sums = jax.lax.scan(body, state, xk)
         return state, jnp.sum(sums)
 
-    make_state = jax.jit(lambda: (vfo.init_state(), demod.init_state(),
-                                  audio_fir.init_state()))
+    make_state = jax.jit(lambda: (vfo.init_state(), squelch.init_state(),
+                                  demod.init_state(), audio_fir.init_state()))
     per_step = _measure(step, make_state, x, iters=16)
     return K * CHANNELS * n / per_step
 
 
-def _attempt(use_cpu: bool) -> dict:
-    """One full benchmark attempt. Raises on backend failure."""
+def _bench_ssb(use_cpu: bool) -> float:
+    """BASELINE config #4's mode family: the 64-channel SSB bank with
+    Squelch + auto AGC inside the measured path (channels x input-rate)."""
+    import jax
+    import jax.numpy as jnp
+
+    vfo, squelch, demod = _make_ssb_bank()
+    n = 1 << 18
+    assert n % vfo.block_multiple == 0
+    K = 8
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((K, 2, n)).astype(np.float32))
+
+    @jax.jit
+    def step(state, xk):
+        def body(st, xs):
+            x = jax.lax.complex(xs[0], xs[1])
+            vs, y = vfo(st[0], x)
+            ss, y = squelch(st[1], y)
+            ds, y = demod(st[2], y)
+            return (vs, ss, ds), jnp.sum(y.astype(jnp.float32))
+
+        state, sums = jax.lax.scan(body, state, xk)
+        return state, jnp.sum(sums)
+
+    make_state = jax.jit(lambda: (vfo.init_state(), squelch.init_state(),
+                                  demod.init_state()))
+    per_step = _measure(step, make_state, x, iters=8 if use_cpu else 16)
+    return K * CHANNELS * n / per_step
+
+
+# known-healthy single-chip calibration band (PERFORMANCE.md r2: 69-79
+# TFLOP/s true-f32 when the tunnel is healthy; BENCH_r02 was taken at a
+# degraded 30.3). Below half the healthy floor the attempt is retried so
+# headline numbers are not recorded on a degraded tunnel.
+HEALTHY_TFLOPS = 69.0
+
+
+class DegradedTunnel(RuntimeError):
+    pass
+
+
+def _attempt(use_cpu: bool, strict_cal: bool) -> dict:
+    """One full benchmark attempt. Raises on backend failure; raises
+    DegradedTunnel (when strict_cal) if calibration lands below 50% of
+    the known-healthy band. Each chain number records the calibration
+    taken right next to it (VERDICT r2 #6)."""
     from sdrpp_tpu.utils.speed_tester import calibrate_sync
 
+    def cal_now():
+        cal = calibrate_sync(size=1024 if use_cpu else 2048, iters=8)
+        if not cal["plausible"]:
+            raise RuntimeError(
+                f"timing harness failed calibration "
+                f"({cal['tflops']:.2e} TFLOP/s, {cal['matmul_ms']:.4f} ms)")
+        if strict_cal and not use_cpu and \
+                cal["tflops"] < 0.5 * HEALTHY_TFLOPS:
+            raise DegradedTunnel(f"calibration {cal['tflops']:.1f} TFLOP/s "
+                                 f"< 50% of healthy {HEALTHY_TFLOPS}")
+        return cal
+
     wideband = _bench_wideband(use_cpu)
-    # Only now calibrate the timing harness (known-FLOPs f32 matmul).
-    cal = calibrate_sync(size=1024 if use_cpu else 2048, iters=8)
-    if not cal["plausible"]:
-        raise RuntimeError(
-            f"timing harness failed calibration "
-            f"({cal['tflops']:.2e} TFLOP/s, {cal['matmul_ms']:.4f} ms)")
+    cal_w = cal_now()  # calibration taken adjacent to the headline number
     aggregate = _bench_aggregate(use_cpu)
-    return {"wideband": wideband, "aggregate": aggregate, "cal": cal}
+    ssb = _bench_ssb(use_cpu)
+    cal_a = cal_now()
+    return {"wideband": wideband, "aggregate": aggregate, "ssb": ssb,
+            "cal": cal_w, "cal_after": cal_a}
 
 
 def main():
@@ -258,14 +349,19 @@ def main():
 
     result = None
     reason = "tpu attempt failed"
-    attempts = 1 if use_cpu else 3
+    attempts = 1 if use_cpu else 4
     for attempt in range(attempts):
         try:
             with _deadline(1200):
-                result = _attempt(use_cpu)
+                # the LAST attempt accepts a degraded tunnel (a measured
+                # under-estimate beats no number), earlier ones retry
+                result = _attempt(use_cpu,
+                                  strict_cal=attempt + 1 < attempts)
             break
         except TimeoutError:
             reason = "tpu benchmark timed out"
+        except DegradedTunnel as e:
+            reason = str(e)
         except Exception as e:
             reason = f"tpu benchmark failed: {type(e).__name__}"
         if attempt + 1 < attempts:
@@ -274,18 +370,27 @@ def main():
         _cpu_fallback(reason)
         return
 
-    cal = result["cal"]
+    cal, cal_a = result["cal"], result["cal_after"]
+    degraded = "" if cal["tflops"] >= 0.5 * HEALTHY_TFLOPS or use_cpu \
+        else " DEGRADED-TUNNEL"
     print(json.dumps({
         "metric": "wideband_e2e_iq_input_throughput",
         "value": result["wideband"],
         "unit": ("input-samples/s/chip through the FULL chain "
                  f"({FS_WIDE / 1e9:.2f} Gsps wideband -> /{PRE_DECIM} decim "
-                 f"cascade -> {CHANNELS}-ch shared-FFT channelizer -> NFM "
-                 "demod -> audio FIR; every input sample traverses every "
-                 f"stage; 64-ch bank aggregate metric: "
-                 f"{result['aggregate'] / 1e9:.2f} Gsamp/s; sync-calibrated "
-                 f"{cal['tflops']:.1f} TFLOP/s true-f32 matmul)"),
+                 f"cascade -> {CHANNELS}-ch shared-FFT channelizer -> "
+                 "per-ch Squelch -> NFM demod -> audio FIR; every input "
+                 "sample traverses every stage; 64-ch NFM bank aggregate: "
+                 f"{result['aggregate'] / 1e9:.2f} Gsamp/s; 64-ch SSB bank "
+                 "(Squelch + auto AGC, BASELINE config #4 mode family): "
+                 f"{result['ssb'] / 1e9:.2f} Gsamp/s; sync-calibrated "
+                 f"{cal['tflops']:.1f}/{cal_a['tflops']:.1f} TFLOP/s "
+                 f"true-f32 matmul before/after{degraded})"),
         "vs_baseline": result["wideband"] / 1e9,
+        "calibration": {"tflops_after_wideband": cal["tflops"],
+                        "tflops_after_banks": cal_a["tflops"],
+                        "healthy_band_tflops": HEALTHY_TFLOPS,
+                        "matmul_ms": cal["matmul_ms"]},
     }))
 
 

@@ -14,9 +14,10 @@ real pod run — the bank now ships a shard_map path
 (ScannerBank.sharded_step + parallel/spmd.py) which this tool compiles
 with the Pallas kernels engaged.
 
-Usage: python tools/check_aot_topology.py [topology, default v5e:2x4]
-Prints one PASS/FAIL line per program; exit 0 iff all pass.
-Runs chiplessly — safe for the driver on any host with libtpu.
+Usage: python tools/check_aot_topology.py [topology ...]
+Default topologies: v5e:2x4 AND v5p:2x2x2 (BASELINE names a v5p-16
+slice = 8 chips). Prints one PASS/FAIL line per program; exit 0 iff all
+pass. Runs chiplessly — safe for the driver on any host with libtpu.
 """
 
 import sys
@@ -38,13 +39,12 @@ def check(name, fn):
         FAILURES.append(name)
 
 
-def main():
+def run_topology(topo_name):
     import jax
     import jax.numpy as jnp
     from jax.experimental import topologies
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    topo_name = sys.argv[1] if len(sys.argv) > 1 else "v5e:2x4"
     topo = topologies.get_topology_desc(topo_name, platform="tpu")
     devs = np.array(topo.devices)
     nd = devs.size
@@ -137,6 +137,73 @@ def main():
 
     check("negative control", gspmd_rejects_mosaic)
 
+    def chunked_loops_shard_map():
+        # The chunk-parallel loop drivers (PLL/Costas lanes as Mosaic
+        # kernels, MM as einsum scans) ENGAGED inside a shard_map over a
+        # stream-parallel mesh — the r3 wiring changed their shapes and
+        # gate thresholds, so pin that the pod compiler still takes them
+        # (VERDICT r2 #8).
+        from jax.experimental.shard_map import shard_map
+        from sdrpp_tpu.ops.clock_recovery_chunked import \
+            MMClockRecoveryChunked
+        from sdrpp_tpu.ops.scans_pallas import CostasChunked, PLLChunked
+
+        mesh = Mesh(devs.reshape(nd), ("streams",))
+        n = 1 << 18
+        pll = PLLChunked(0.01)
+        costas = CostasChunked(order=4, bandwidth=0.01)
+        mm = MMClockRecoveryChunked(150000.0 / 72000.0, 0.001, 0.01, 0.01,
+                                    complex_input=True)
+        k_mm = mm._lanes_for(n)
+        assert k_mm >= 1, "chunked MM must be engaged at this block size"
+
+        def local(st_pll, st_cos, st_mm, xr, xi):
+            # one stream per device: strip the local lead axis of 1
+            sq = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda a: a[0], t)
+            ex = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda a: a[None], t)
+            x = jax.lax.complex(xr[0], xi[0])
+            sp, ph = pll(sq(st_pll), jnp.arctan2(x.imag, x.real))
+            sc, y = costas(sq(st_cos), x)
+            sm, (syms, valid) = mm(sq(st_mm), y)
+            out = jnp.sum(ph) + jnp.sum(jnp.abs(y)) \
+                + jnp.sum(jnp.where(valid, syms.real, 0.0))
+            return ex(sp), ex(sc), ex(sm), out[None]
+
+        P_ = P("streams")
+        spec = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda a: P_, t)
+        st_pll, st_cos, st_mm = (pll.init_state(), costas.init_state(),
+                                 mm.init_state())
+        bc = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda a: jax.ShapeDtypeStruct(
+                (nd,) + jnp.shape(a),
+                a.dtype if hasattr(a, "dtype") else jnp.float32), t)
+        sharded = shard_map(
+            local, mesh=mesh,
+            in_specs=(spec(st_pll), spec(st_cos), spec(st_mm), P_, P_),
+            out_specs=(spec(st_pll), spec(st_cos), spec(st_mm), P_),
+            check_rep=False)
+        comp = jax.jit(sharded).lower(
+            bc(st_pll), bc(st_cos), bc(st_mm),
+            jax.ShapeDtypeStruct((nd, n), jnp.float32),
+            jax.ShapeDtypeStruct((nd, n), jnp.float32)).compile()
+        txt = comp.as_text()
+        has_mosaic = "tpu_custom_call" in txt or "custom-call" in txt
+        return (f"chunked PLL+Costas+MM (k_mm={k_mm}) compile in "
+                f"shard_map over {nd} streams "
+                f"(Mosaic custom call present: {has_mosaic})")
+
+    check("chunked loops in shard_map", chunked_loops_shard_map)
+
+    return FAILURES
+
+
+def main():
+    topos = sys.argv[1:] or ["v5e:2x4", "v5p:2x2x2"]
+    for t in topos:
+        run_topology(t)
     print("ALL PASS" if not FAILURES else f"FAILURES: {FAILURES}")
     return 1 if FAILURES else 0
 

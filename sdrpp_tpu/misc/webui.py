@@ -40,6 +40,12 @@ __all__ = ["ReceiverEngine", "WebUIServer", "serve_ui"]
 log = get_logger("webui")
 
 MODES = ["wfm", "nfm", "am", "usb", "lsb", "dsb", "cw", "raw"]
+# digital modes: no audio; symbols feed the constellation endpoint
+# (the reference's constellation_diagram for the meteor demodulator,
+# decoder_modules/meteor_demodulator/src/main.cpp:70-77)
+DIGITAL_MODES = ["meteor"]
+ALL_MODES = MODES + DIGITAL_MODES
+CONSTELLATION_RING = 4096  # symbols kept per digital VFO
 
 
 class ReceiverEngine:
@@ -92,6 +98,9 @@ class ReceiverEngine:
 
         self.bookmarks = None  # FrequencyManager, see attach_bookmarks
         self._scanner = None  # misc/scanner.Scanner while sweeping
+        self._digital: set[str] = set()
+        # per-digital-VFO constellation ring (latest symbols, complex64)
+        self._const: dict[str, dict] = {}
         self._wf_total = 0  # monotonic count of FFT lines pushed
         self._controls: list[tuple[str, object]] = []
         self._stop = threading.Event()
@@ -113,6 +122,8 @@ class ReceiverEngine:
         cfg = self.vfos[name]
         if cfg["bandwidth"]:
             return float(cfg["bandwidth"])
+        if cfg["mode"] in DIGITAL_MODES:
+            return 140000.0  # meteor module default VFO bandwidth
         d = DEMOD_DEFAULTS[cfg["mode"]]
         return float(d["bandwidth"] or d["if_rate"] or self.audio_rate)
 
@@ -131,18 +142,25 @@ class ReceiverEngine:
         from ..signal_path import IQFrontEnd
         from ..utils.iq import device_state
 
+        from ..models.lrpt import MeteorChannel
+
         with self.lock:
             cfgs = {name: dict(cfg) for name, cfg in self.vfos.items()}
-        channels = {
-            name: RadioChannel(cfg["mode"], self.samplerate,
-                               offset=cfg["offset"],
-                               bandwidth=cfg["bandwidth"],
-                               audio_rate=self.audio_rate,
-                               squelch_level=cfg["squelch"],
-                               deemphasis=cfg["deemphasis"],
-                               rds=bool(cfg.get("rds")),
-                               dynamic_offset=True)
-            for name, cfg in cfgs.items()}
+        channels = {}
+        for name, cfg in cfgs.items():
+            if cfg["mode"] in DIGITAL_MODES:
+                channels[name] = MeteorChannel(
+                    self.samplerate, offset=cfg["offset"],
+                    bandwidth=cfg["bandwidth"], dynamic_offset=True)
+            else:
+                channels[name] = RadioChannel(
+                    cfg["mode"], self.samplerate, offset=cfg["offset"],
+                    bandwidth=cfg["bandwidth"], audio_rate=self.audio_rate,
+                    squelch_level=cfg["squelch"],
+                    deemphasis=cfg["deemphasis"], rds=bool(cfg.get("rds")),
+                    dynamic_offset=True)
+        self._digital = {name for name, cfg in cfgs.items()
+                         if cfg["mode"] in DIGITAL_MODES}
         bm = 1
         for chan in channels.values():
             bm = math.lcm(bm, int(chan.block_multiple))
@@ -284,7 +302,7 @@ class ReceiverEngine:
                  "select_vfo", "scan_start", "scan_stop"}
         if action not in valid:
             raise ValueError(f"unknown action {action!r}")
-        if action == "set_mode" and value not in MODES:
+        if action == "set_mode" and value not in ALL_MODES:
             raise ValueError(f"unknown mode {value!r}")
         if action == "set_deemphasis" and value not in (None, "", "22us",
                                                         "50us", "75us"):
@@ -309,7 +327,7 @@ class ReceiverEngine:
         if action == "add_vfo":
             if not isinstance(value, dict) or not value.get("name"):
                 raise ValueError("add_vfo needs {name, mode?, offset?}")
-            if value.get("mode", "nfm") not in MODES:
+            if value.get("mode", "nfm") not in ALL_MODES:
                 raise ValueError(f"unknown mode {value.get('mode')!r}")
             if value["name"] in self.vfos:
                 raise ValueError(f"vfo {value['name']!r} already exists")
@@ -424,6 +442,13 @@ class ReceiverEngine:
                     self._state, split_iq(iq))
                 outs = {}
                 for name, a in audio.items():
+                    if name in self._digital:
+                        # (symbols, valid): keep the valid prefix in the
+                        # constellation ring (no audio for digital modes)
+                        syms = np.asarray(a[0])
+                        nv = int(np.asarray(a[1]).sum())
+                        self._write_constellation(name, syms[:nv])
+                        continue
                     out = np.asarray(a[0] if isinstance(a, tuple) else a,
                                      np.float32)
                     if out.ndim == 1:
@@ -486,6 +511,40 @@ class ReceiverEngine:
         ring[:n - first] = pcm[first:]
         st["written"] += n
         self._audio_event.notify_all()
+
+    def _write_constellation(self, name: str, syms: np.ndarray):
+        with self.lock:
+            st = self._const.setdefault(
+                name, {"ring": np.zeros(CONSTELLATION_RING, np.complex64),
+                       "written": 0})
+            ring = st["ring"]
+            n = len(syms)
+            if n >= len(ring):
+                syms = syms[-len(ring):]
+                n = len(syms)
+            pos = st["written"] % len(ring)
+            first = min(n, len(ring) - pos)
+            ring[pos:pos + first] = syms[:first]
+            ring[:n - first] = syms[first:]
+            st["written"] += n
+
+    def read_constellation(self, name: str, max_points: int = 1024):
+        """Latest demodulated symbols of a digital VFO (complex64, newest
+        last) — the constellation_diagram data plane."""
+        with self.lock:
+            st = self._const.get(name)
+            if st is None:
+                return np.zeros(0, np.complex64)
+            ring, end = st["ring"], st["written"]
+            n = min(end, len(ring), max_points)
+            if end <= len(ring):
+                out = ring[end - n:end]
+            else:
+                pos = end % len(ring)
+                idx = (pos - n) % len(ring)
+                out = ring[idx:pos] if idx < pos else \
+                    np.concatenate([ring[idx:], ring[:pos]])
+            return out.copy()
 
     def audio_written(self, name: str) -> int:
         with self.lock:
@@ -568,7 +627,7 @@ class ReceiverEngine:
                 "deemphasis": sel["deemphasis"],
                 "volume": self.volume,
                 "muted": self.muted,
-                "modes": MODES,
+                "modes": ALL_MODES,
                 "fft_size": self.fft_size,
                 "waterfall_width": wf.data_width,
                 "waterfall_min": wf.waterfall_min,
@@ -652,6 +711,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._get_fft()
             elif url.path == "/api/waterfall":
                 self._get_waterfall(url)
+            elif url.path == "/api/constellation":
+                self._get_constellation(url)
             elif url.path == "/audio.wav":
                 self._stream_audio(url)
             else:
@@ -679,6 +740,27 @@ class _Handler(BaseHTTPRequestHandler):
         self._bytes(buf.astype("<u4").tobytes(),
                     headers=[("X-Line", counter), ("X-Rows", len(buf)),
                              ("X-Width", self.engine.waterfall.data_width)])
+
+    def _get_constellation(self, url):
+        """Latest symbols of a digital VFO as interleaved int8 I/Q pairs,
+        the reference meteor module's s8 x84 soft-symbol convention
+        (decoder_modules/meteor_demodulator/src/main.cpp:268-276)."""
+        eng = self.engine
+        qs = parse_qs(url.query)
+        vfo = qs.get("vfo", [eng.selected])[0]
+        if vfo not in eng.vfos:
+            self._json({"error": f"unknown vfo {vfo!r}"}, 404)
+            return
+        try:
+            n = int(qs.get("n", ["1024"])[0])
+        except ValueError:
+            self._json({"error": "bad 'n' parameter"}, 400)
+            return
+        syms = eng.read_constellation(vfo, max_points=max(1, min(n, 4096)))
+        iq = np.empty(2 * len(syms), np.int8)
+        iq[0::2] = np.clip(syms.real * 84.0, -127, 127).astype(np.int8)
+        iq[1::2] = np.clip(syms.imag * 84.0, -127, 127).astype(np.int8)
+        self._bytes(iq.tobytes(), headers=[("X-Count", len(syms))])
 
     def _stream_audio(self, url):
         eng = self.engine
@@ -837,6 +919,7 @@ button{cursor:pointer} canvas{display:block;width:100%}
 </div>
 <canvas id="spec" height="220"></canvas>
 <canvas id="wf" height="512"></canvas>
+<canvas id="constel" width="220" height="220" style="display:none;position:fixed;right:10px;top:48px;width:220px;border:1px solid #345;background:rgba(10,10,16,0.9)"></canvas>
 <script>
 const $=id=>document.getElementById(id);
 let st=null, wfLine=0, wfImg=null;
@@ -956,7 +1039,23 @@ function drawBookmarks(g,W,H){if(!st)return;
   if(x<0||x>W)continue;
   g.strokeStyle='#fd5';g.setLineDash([2,3]);g.beginPath();g.moveTo(x,14);g.lineTo(x,H);g.stroke();g.setLineDash([]);
   g.fillStyle='#fd5';g.fillText('⚑ '+name,x+2,24);}}
+const constel=$('constel');
+async function drawConstel(){if(!st)return;
+ const digital=st.mode==='meteor';
+ constel.style.display=digital?'block':'none';
+ if(!digital)return;
+ const r=await fetch('/api/constellation?vfo='+st.selected+'&n=1024');
+ const pts=new Int8Array(await r.arrayBuffer());
+ const g=constel.getContext('2d'),W=constel.width,H=constel.height;
+ g.fillStyle='rgba(10,10,16,0.9)';g.fillRect(0,0,W,H);
+ g.strokeStyle='#234';g.beginPath();
+ g.moveTo(W/2,0);g.lineTo(W/2,H);g.moveTo(0,H/2);g.lineTo(W,H/2);g.stroke();
+ g.fillStyle='#6f6';
+ for(let i=0;i+1<pts.length;i+=2){
+  const x=(pts[i]/254+0.5)*W,y=(0.5-pts[i+1]/254)*H;
+  g.fillRect(x-1,y-1,2,2);}
+ g.fillStyle='#9aa';g.fillText('constellation',6,12);}
 getState();setInterval(getState,1000);getBookmarks();setInterval(getBookmarks,3000);
-setInterval(drawSpec,100);setInterval(drawWf,100);
+setInterval(drawSpec,100);setInterval(drawWf,100);setInterval(drawConstel,250);
 </script></body></html>
 """

@@ -21,7 +21,52 @@ import jax.numpy as jnp
 from ..ops.fec import RS_CCSDS, ConvCode, ReedSolomon
 
 __all__ = ["CCSDS_CONV_POLYS", "symbols_to_soft_bits", "soft_s8_to_u8",
-           "LRPTDecoder"]
+           "LRPTDecoder", "MeteorChannel"]
+
+
+class MeteorChannel:
+    """Digital receive channel for the web UI / receiver: RxVFO
+    (input rate -> 150 kHz IF) -> MeteorDemod (72 ksym QPSK). Output =
+    (symbols, valid) prefix-valid block — the constellation / soft-symbol
+    surface of the reference meteor module (the VFO at 150 kHz and the
+    Reshaper-fed constellation widget,
+    decoder_modules/meteor_demodulator/src/main.cpp:52-77)."""
+
+    IF_RATE = 150000.0
+    SYMBOL_RATE = 72000.0
+
+    def __init__(self, in_samplerate: float, offset: float = 0.0,
+                 bandwidth: float | None = None, oqpsk: bool = False,
+                 broken_modulation: bool = False,
+                 dynamic_offset: bool = False):
+        from .channel import RxVFO
+        from .digital import MeteorDemod
+
+        bw = float(bandwidth) if bandwidth else 140000.0
+        self.vfo = RxVFO(float(in_samplerate), self.IF_RATE,
+                         min(bw, self.IF_RATE), offset,
+                         dynamic_offset=dynamic_offset)
+        self.demod = MeteorDemod(symbolrate=self.SYMBOL_RATE,
+                                 samplerate=self.IF_RATE, oqpsk=oqpsk,
+                                 broken_modulation=broken_modulation)
+        self.rds = False  # uniform surface with RadioChannel for the UI
+        self.block_multiple = self.vfo.block_multiple
+
+    def max_symbols(self, n: int) -> int:
+        return self.demod.max_symbols(self.vfo.out_count(n))
+
+    def retune_state(self, state, offset_hz: float):
+        return dict(state, vfo=self.vfo.retune_state(state["vfo"],
+                                                     offset_hz))
+
+    def init_state(self):
+        return {"vfo": self.vfo.init_state(),
+                "demod": self.demod.init_state()}
+
+    def __call__(self, state, x):
+        vs, x = self.vfo(state["vfo"], x)
+        ds, (syms, valid) = self.demod(state["demod"], x)
+        return {"vfo": vs, "demod": ds}, (syms, valid)
 
 # CCSDS rate-1/2 K=7 polynomials (0o171, 0o133) used by LRPT.
 CCSDS_CONV_POLYS = (0o171, 0o133)

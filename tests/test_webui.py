@@ -515,3 +515,54 @@ def test_scanner_parks_on_the_tone(server):
                      "value": {"start": 10.0, "stop": 5.0, "interval": 1.0}})
     assert code == 400
     _post(base + "/api/control", {"action": "set_offset", "value": 100000.0})
+
+
+def test_meteor_constellation_endpoint(tmp_path):
+    """A meteor (digital) VFO session: QPSK IQ -> MeteorChannel ->
+    /api/constellation serves the s8 x84 symbol pairs and they form a
+    4-point constellation (the reference constellation_diagram wired in
+    meteor main.cpp:70-77)."""
+    import threading
+
+    from sdrpp_tpu.io.sources import FileSource
+    from sdrpp_tpu.io.wav import write_wav
+
+    fs, rs = 600000.0, 72000.0
+    sps = fs / rs
+    rng = np.random.default_rng(0)
+    n = 1 << 19
+    nsym = int(n / sps) + 2
+    qpsk = np.exp(1j * (np.pi / 4 + np.pi / 2 * rng.integers(0, 4, nsym)))
+    k = np.floor(np.arange(n) / sps).astype(int)
+    iq = qpsk[np.clip(k, 0, nsym - 1)]
+    p = tmp_path / "meteor_600000Hz.wav"
+    write_wav(p, int(fs), np.stack([iq.real * 0.7, iq.imag * 0.7], -1)
+              .astype(np.float32), "f32")
+
+    src = FileSource(p, loop=True)
+    eng = ReceiverEngine(src, mode="meteor", offset=0.0, realtime=False,
+                         base_block=131072, fft_size=4096)
+    srv = WebUIServer(eng, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    eng.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert _wait(lambda: eng.blocks >= 3), eng.error
+        body, hdrs = _get(base + "/api/constellation?vfo=vfo0&n=1024",
+                          binary=True)
+        assert int(hdrs["X-Count"]) >= 512
+        pts = np.frombuffer(body, np.int8).astype(np.float32) / 84.0
+        z = pts[0::2] + 1j * pts[1::2]
+        z = z[np.abs(z) > 0.3]
+        assert len(z) > 400
+        # live 4-point constellation: phases mod pi/2 cluster tightly
+        coh = np.abs(np.mean(np.exp(4j * np.mod(np.angle(z), np.pi / 2))))
+        assert coh > 0.5, coh
+        stt = _get(base + "/api/state")
+        assert "meteor" in stt["modes"] and stt["mode"] == "meteor"
+        assert stt["vfos"]["vfo0"]["mode"] == "meteor"
+    finally:
+        eng.stop()
+        srv.shutdown()
+        srv.server_close()

@@ -204,7 +204,7 @@ def test_js_page_functions_defined_and_used():
                               r"(?:async\s*)?"
                               r"(?:\([^)]*\)|[A-Za-z_$][\w$]*)\s*=>", code))
     builtins = {"fetch", "prompt", "parseFloat", "isFinite", "setInterval",
-                "Float32Array", "Uint8ClampedArray", "ImageData", "Audio",
+                "Float32Array", "Uint8ClampedArray", "Int8Array", "ImageData", "Audio",
                 "Date", "if", "for", "while", "switch", "catch", "return",
                 "await", "new", "function", "typeof"}
     called = set(re.findall(r"(?<![\w$.])([A-Za-z_$][\w$]*)\s*\(", code))

@@ -7,7 +7,7 @@ The reference's entry points are the GUI app and ``sdrpp --server``
 - ``bank``     N channels at once: batched VFO bank -> per-channel files
 - ``spectrum`` IQ -> waterfall dB lines -> .npy
 - ``scan``     sweep a band, park on active signals
-- ``decode``   digital decoders: m17 / hrpt / falcon9 / kgsstv
+- ``decode``   digital decoders: m17 / hrpt / falcon9 / kgsstv / meteor
 - ``serve``    stream quantized baseband over TCP (the server protocol)
 - ``bench``    the headline throughput benchmark
 
@@ -489,9 +489,11 @@ def cmd_scan(argv):
 
 def cmd_decode(argv):
     """Digital decoder pipelines (the reference's decoder modules):
-    m17 voice, NOAA HRPT imagery, Falcon 9 telemetry, KG-STV frames."""
+    m17 voice, NOAA HRPT imagery, Falcon 9 telemetry, KG-STV frames,
+    Meteor M2 LRPT (soft symbols + Viterbi/RS VCDU payloads)."""
     p = argparse.ArgumentParser(prog="sdrpp_tpu decode")
-    p.add_argument("mode", choices=["m17", "hrpt", "falcon9", "kgsstv"])
+    p.add_argument("mode", choices=["m17", "hrpt", "falcon9", "kgsstv",
+                                    "meteor"])
     _add_source_args(p)
     p.add_argument("--offset", type=float, default=0.0, help="VFO offset Hz")
     p.add_argument("--out", default=None,
@@ -507,7 +509,7 @@ def cmd_decode(argv):
     from .models.channel import RxVFO
 
     rates = {"m17": 48000.0, "hrpt": 3000000.0, "falcon9": 6000000.0,
-             "kgsstv": 12000.0}
+             "kgsstv": 12000.0, "meteor": 150000.0}
     target = rates[args.mode]
     src = _make_source(args)
     fs = src.samplerate
@@ -529,13 +531,17 @@ def cmd_decode(argv):
     elif args.mode == "falcon9":
         from .decoders.falcon9 import Falcon9Decoder
         dec = Falcon9Decoder(target)
+    elif args.mode == "meteor":
+        from .decoders.meteor_lrpt import MeteorLRPTDecoder
+        dec = MeteorLRPTDecoder(target)
     else:
         from .decoders.kg_sstv import KGSSTVDecoder
         dec = KGSSTVDecoder(target)
 
     out_path = args.out or {"m17": "m17.wav", "hrpt": "avhrr.npy",
                             "falcon9": "falcon9_video.ts",
-                            "kgsstv": "kgsstv_out.bin"}[args.mode]
+                            "kgsstv": "kgsstv_out.bin",
+                            "meteor": "meteor.s"}[args.mode]
     audio_chunks, avhrr_lines, frames_bin = [], [], b""
     video = open(out_path, "wb") if args.mode == "falcon9" else None
 
@@ -565,6 +571,8 @@ def cmd_decode(argv):
                     log.info("GPS: " + body.decode(errors="replace").strip())
                 elif kind == "video":
                     video.write(body)
+        elif args.mode == "meteor":
+            dec.process(iq)
         else:
             for fr in dec.process(iq):
                 frames_bin += fr
@@ -587,6 +595,19 @@ def cmd_decode(argv):
     elif args.mode == "falcon9":
         video.close()
         log.info(f"video TS -> {out_path}")
+    elif args.mode == "meteor":
+        # the reference module's surface: s8 x84 soft-symbol file
+        # (meteor main.cpp:268-276) + the full LRPT tail this framework
+        # adds (Viterbi -> CADU sync -> RS -> VCDU payloads)
+        soft, vcdus, info = dec.finalize()
+        soft.tofile(out_path)
+        from pathlib import Path as _P
+        vpath = str(_P(out_path).with_suffix("")) + "_vcdu.bin"
+        with open(vpath, "wb") as f:
+            f.write(vcdus.tobytes())
+        log.info(f"{len(soft)} soft bytes -> {out_path}; "
+                 f"{info['vcdus_ok']}/{info['cadus_seen']} CADUs "
+                 f"(rotation {info['rotation']}) -> {vpath}")
     else:
         with open(out_path, "wb") as f:
             f.write(frames_bin)

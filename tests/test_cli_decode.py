@@ -60,3 +60,26 @@ def test_cli_decode_kgsstv(tmp_path, repo_root):
     got = [data[:7], data[7:]]
     for g, f in zip(got, frames):
         assert g[:6] == f[:6] and (g[6] & 0xFC) == (f[6] & 0xFC)
+
+
+def test_cli_decode_meteor(tmp_path, repo_root):
+    """Golden LRPT chain through the CLI path (VERDICT r2 #7): the
+    committed IQ capture -> `sdrpp_tpu decode meteor` -> soft-symbol
+    file + Viterbi/RS VCDU payloads matching the committed golden."""
+    golden_wav = repo_root / "tests" / "data" / "meteor_lrpt_150000Hz.wav"
+    golden_payload = np.fromfile(
+        repo_root / "tests" / "data" / "meteor_lrpt_payload.bin",
+        np.uint8).reshape(3, 892)
+    out = tmp_path / "meteor.s"
+    r = _run_cli(["decode", "meteor", "--source", str(golden_wav),
+                  "--block-size", "16384", "--out", str(out)],
+                 cwd=repo_root)
+    assert r.returncode == 0, r.stderr
+    soft = np.fromfile(out, np.int8)
+    assert len(soft) > 55000  # ~2 soft bytes per symbol over the capture
+    vcdus = np.fromfile(tmp_path / "meteor_vcdu.bin", np.uint8)
+    assert len(vcdus) == 3 * 892, len(vcdus)
+    vcdus = vcdus.reshape(3, 892)
+    # all three payloads recovered (order preserved by the CADU stream)
+    for p in golden_payload:
+        assert any(np.array_equal(v, p) for v in vcdus)

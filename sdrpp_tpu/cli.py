@@ -102,7 +102,11 @@ def cmd_run(argv):
                    choices=["u8", "i16", "i24", "i32", "f32"],
                    help="sample depth (recorder main.cpp:48-60; f32 WAV only)")
     p.add_argument("--blocks", type=int, default=0, help="0 = until EOF")
-    p.add_argument("--block-size", type=int, default=262144)
+    p.add_argument("--block-size", type=int, default=None,
+                   help="input samples per device step (default: auto — "
+                        "sized so the demod's IF-rate block engages the "
+                        "chunk-parallel loop kernels, PERFORMANCE.md "
+                        "'realtime vs block size')")
     p.add_argument("--squelch", type=float, default=None)
     p.add_argument("--deemphasis", default=None, choices=[None, "22us", "50us", "75us"])
     p.add_argument("--checkpoint", default=None)
@@ -126,6 +130,8 @@ def cmd_run(argv):
     if args.mode == "raw":
         # Baseband recording (the recorder module's baseband mode,
         # misc_modules/recorder): IQ as stereo WAV (L=I, R=Q).
+        if args.block_size is None:
+            args.block_size = 262144
         n_total = 0
         chunks = []
         block = args.block_size
@@ -150,7 +156,8 @@ def cmd_run(argv):
                         bandwidth=args.bandwidth, audio_rate=args.audio_rate,
                         squelch_level=args.squelch, deemphasis=args.deemphasis)
     bm = chan.block_multiple
-    block = max(bm, (args.block_size // bm) * bm)
+    block = _auto_block(fs, chan.if_rate, bm) if args.block_size is None \
+        else max(bm, (args.block_size // bm) * bm)
     log.info(f"mode={args.mode} fs={fs:g} block={block} -> audio {args.audio_rate:g}")
 
     from .utils.iq import device_state
@@ -485,6 +492,20 @@ def cmd_scan(argv):
             log.info(f"scanning... at {freq/1e3:+.1f} kHz")
     for f, s in sorted(hits.items()):
         print(f"{f:+12.0f} Hz  {s:6.1f} dB")
+
+
+def _auto_block(fs: float, if_rate: float, block_multiple: int,
+                if_target: int = 65536, floor: int = 262144,
+                ceil: int = 1 << 22) -> int:
+    """Input block size so the post-VFO IF block reaches ``if_target``
+    samples — the grain where the chunk-parallel loop kernels (AGC, PLL,
+    Costas, MM; ops/scans_pallas._chunk_lanes_for) engage with full
+    lanes. cli run processes files as fast as possible (no realtime
+    pacing), so bigger blocks trade nothing but memory; clamped to
+    [floor, ceil] and rounded to the chain's block multiple."""
+    want = int(if_target * fs / max(if_rate, 1.0))
+    want = min(max(floor, want), ceil)
+    return max(block_multiple, (want // block_multiple) * block_multiple)
 
 
 def cmd_decode(argv):

@@ -250,3 +250,21 @@ def test_sink_manager_volume_power_law():
     sm.set_muted("radio", True)
     sm.write("radio", np.ones(4, np.float32))
     np.testing.assert_allclose(buf.data()[-4:], 0.0)
+
+
+def test_cli_auto_block_engages_loops():
+    """cli run's default block sizing: the IF-rate block reaches the
+    chunk-parallel engagement grain for every mode's rate ratio."""
+    from sdrpp_tpu.cli import _auto_block
+    from sdrpp_tpu.ops.scans_pallas import _chunk_lanes_for
+
+    # AM at a 2.4 Msps RTL-style input: IF 24k is 100x decimated
+    b = _auto_block(2400000.0, 24000.0, 512)
+    assert b * 24000.0 / 2400000.0 >= 16384  # AGC (W=2048) engages
+    assert _chunk_lanes_for(int(b * 24000.0 / 2400000.0), 2048, 512) >= 8
+    # WFM at 960k: IF 240k
+    b = _auto_block(960000.0, 240000.0, 4)
+    assert _chunk_lanes_for(int(b * 240000.0 / 960000.0), 512, 512) >= 32
+    # floor/ceiling respected
+    assert _auto_block(48000.0, 48000.0, 2) == 262144
+    assert _auto_block(100e6, 3000.0, 2) == 1 << 22

@@ -28,7 +28,7 @@ def _engine(**kw):
     return ReceiverEngine(src, **kw)
 
 
-def _wait(pred, timeout=60.0):
+def _wait(pred, timeout=180.0):
     t0 = time.time()
     while time.time() - t0 < timeout:
         if pred():

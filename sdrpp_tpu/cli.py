@@ -158,6 +158,9 @@ def cmd_run(argv):
     bm = chan.block_multiple
     block = _auto_block(fs, chan.if_rate, bm) if args.block_size is None \
         else max(bm, (args.block_size // bm) * bm)
+    cap = getattr(src, "num_frames", None)
+    if args.block_size is None and cap is not None and cap >= bm:
+        block = min(block, (cap // bm) * bm)  # short captures: one block
     log.info(f"mode={args.mode} fs={fs:g} block={block} -> audio {args.audio_rate:g}")
 
     from .utils.iq import device_state
@@ -522,7 +525,10 @@ def cmd_decode(argv):
                         "hrpt -> avhrr.npy, falcon9 -> falcon9_video.ts, "
                         "kgsstv -> kgsstv_out.bin)")
     p.add_argument("--blocks", type=int, default=0, help="0 = until EOF")
-    p.add_argument("--block-size", type=int, default=262144)
+    p.add_argument("--block-size", type=int, default=None,
+                   help="input samples per step (default: auto — sized "
+                        "so the decoder-rate block engages the chunked "
+                        "loop kernels)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -567,7 +573,11 @@ def cmd_decode(argv):
     video = open(out_path, "wb") if args.mode == "falcon9" else None
 
     bm = vfo.block_multiple if vfo else 1
-    block = max(bm, (args.block_size // bm) * bm)
+    block = _auto_block(fs, target, bm) if args.block_size is None \
+        else max(bm, (args.block_size // bm) * bm)
+    cap = getattr(src, "num_frames", None)
+    if cap is not None and cap >= bm:
+        block = min(block, (cap // bm) * bm)  # short captures: one block
     src_len = getattr(src, "num_frames", None)
     offset = nblocks = 0
     while args.blocks == 0 or nblocks < args.blocks:

@@ -71,9 +71,9 @@ def test_cli_decode_meteor(tmp_path, repo_root):
         repo_root / "tests" / "data" / "meteor_lrpt_payload.bin",
         np.uint8).reshape(3, 892)
     out = tmp_path / "meteor.s"
+    # default (auto) block sizing: short captures cap to one full block
     r = _run_cli(["decode", "meteor", "--source", str(golden_wav),
-                  "--block-size", "16384", "--out", str(out)],
-                 cwd=repo_root)
+                  "--out", str(out)], cwd=repo_root)
     assert r.returncode == 0, r.stderr
     soft = np.fromfile(out, np.int8)
     assert len(soft) > 55000  # ~2 soft bytes per symbol over the capture

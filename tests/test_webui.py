@@ -566,3 +566,25 @@ def test_meteor_constellation_endpoint(tmp_path):
         eng.stop()
         srv.shutdown()
         srv.server_close()
+
+
+def test_constellation_ring_wraparound():
+    """read_constellation returns the newest symbols in order across the
+    ring seam (regression for the wrap index math)."""
+    eng = _engine()
+    try:
+        from sdrpp_tpu.misc.webui import CONSTELLATION_RING
+        R = CONSTELLATION_RING
+        a = (np.arange(R - 100) + 1j * 0).astype(np.complex64)
+        eng._write_constellation("vfo0", a)
+        out = eng.read_constellation("vfo0", max_points=64)
+        np.testing.assert_array_equal(out.real, np.arange(R - 164, R - 100))
+        # wrap: 300 more symbols pushes the window across the seam
+        b = (np.arange(300) + 1000000.0).astype(np.complex64)
+        eng._write_constellation("vfo0", b)
+        out = eng.read_constellation("vfo0", max_points=512)
+        want = np.concatenate([np.arange(R - 312, R - 100),
+                               np.arange(300) + 1000000.0])
+        np.testing.assert_array_equal(out.real, want.astype(np.float32))
+    finally:
+        eng.stop()

@@ -246,8 +246,8 @@ class Falcon9Decoder:
 
         self._dstate, self._rstate, sym, valid = self._step(
             self._dstate, self._rstate, jnp.asarray(split_iq(iq)))
-        nv = int(np.asarray(valid).sum())
-        bits = (np.asarray(sym)[:nv] > 0.0).astype(np.uint8)
+        keep = np.asarray(valid).astype(bool)  # mask, not prefix
+        bits = (np.asarray(sym)[keep] > 0.0).astype(np.uint8)
         out: list[tuple[str, bytes]] = []
         for frame_bits in self.deframe.process(bits):
             frame = np.packbits(frame_bits)

@@ -159,7 +159,7 @@ class HRPTDecoder:
         from ..utils.iq import split_iq, to_host
         self._state, (sym, valid) = self._step(
             self._state, jnp.asarray(split_iq(iq)))
-        nv = int(np.asarray(valid).sum())
-        bits = (np.real(to_host(sym)[:nv]) > 0.0).astype(np.uint8)
+        keep = np.asarray(valid).astype(bool)  # mask, not prefix
+        bits = (np.real(to_host(sym)[keep]) > 0.0).astype(np.uint8)
         return (self.deframer.process(bits)
                 + self.deframer_inv.process(bits ^ 1))

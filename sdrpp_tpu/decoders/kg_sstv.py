@@ -156,5 +156,5 @@ class KGSSTVDecoder:
 
         self._state, sym, valid = self._step(self._state,
                                              jnp.asarray(split_iq(iq)))
-        nv = int(np.asarray(valid).sum())
-        return self.deframer.process(np.asarray(sym)[:nv])
+        keep = np.asarray(valid).astype(bool)  # mask, not prefix
+        return self.deframer.process(np.asarray(sym)[keep])

@@ -82,7 +82,17 @@ class MeteorLRPTDecoder:
         self.demod = MeteorDemod(symbolrate=symbolrate,
                                  samplerate=samplerate, oqpsk=oqpsk,
                                  broken_modulation=broken_modulation)
-        self._step = jax.jit(self.demod)
+
+        # IQ crosses the host<->device boundary as split float32 in BOTH
+        # directions: the axon TPU tunnel cannot transfer complex64
+        # either way, while complex math inside the jit is fine.
+        def step(state, x2):
+            import jax as _jax
+            st, (syms, valid) = self.demod(
+                state, _jax.lax.complex(x2[0], x2[1]))
+            return st, (syms.real, syms.imag, valid)
+
+        self._step = jax.jit(step)
         self._state = self.demod.init_state()
         self._chunks: list[np.ndarray] = []
 
@@ -90,10 +100,13 @@ class MeteorLRPTDecoder:
         """Demodulate one IQ block; returns symbols emitted so far."""
         import jax.numpy as jnp
 
-        self._state, (syms, valid) = self._step(self._state,
-                                                jnp.asarray(iq))
-        nv = int(np.asarray(valid).sum())
-        self._chunks.append(np.asarray(syms)[:nv])
+        iq = np.asarray(iq)
+        x2 = jnp.asarray(np.stack([iq.real.astype(np.float32),
+                                   iq.imag.astype(np.float32)]))
+        self._state, (sr, si, valid) = self._step(self._state, x2)
+        keep = np.asarray(valid).astype(bool)  # mask, not prefix
+        syms = np.asarray(sr)[keep] + 1j * np.asarray(si)[keep]
+        self._chunks.append(syms.astype(np.complex64))
         return sum(len(c) for c in self._chunks)
 
     @property

@@ -443,11 +443,12 @@ class ReceiverEngine:
                 outs = {}
                 for name, a in audio.items():
                     if name in self._digital:
-                        # (symbols, valid): keep the valid prefix in the
-                        # constellation ring (no audio for digital modes)
+                        # (symbols, valid): valid is a boolean MASK
+                        # (chunk-parallel MM emits lane-major, not
+                        # prefix-compacted); no audio for digital modes
                         syms = np.asarray(a[0])
-                        nv = int(np.asarray(a[1]).sum())
-                        self._write_constellation(name, syms[:nv])
+                        keep = np.asarray(a[1]).astype(bool)
+                        self._write_constellation(name, syms[keep])
                         continue
                     out = np.asarray(a[0] if isinstance(a, tuple) else a,
                                      np.float32)

@@ -24,13 +24,16 @@ TIMING loop, and their fixes:
    be emitted twice or dropped if neighboring lanes' timing estimates
    disagree by a hair). Lanes OVERLAP their emission ranges by
    ceil(omega) samples, so a boundary symbol is always emitted by at
-   least one lane (usually both); every symbol carries its global
-   position, the flattened set is sorted by position, and entries closer
-   than omega/2 to their predecessor are deduplicated. A true symbol can
-   be claimed by at most the two adjacent lanes, so adjacent-difference
-   dedup is exact; locked-lane position disagreement (<< omega/2) cannot
-   split a pair. Block seams need no dedup at all: lane 0 seeds from the
-   carried exact symbol grid and emits from position 0.
+   least one lane (usually both); a duplicate can only be claimed by
+   ADJACENT lanes, so the merge is SORT-FREE: emissions stay lane-major
+   [K, msc] (chronological within a lane, lanes ordered by their
+   disjoint position ranges) and lane k masks out emissions within
+   omega/2 of lane k-1's LAST emitted position (one per-lane max + one
+   elementwise compare). A global argsort + prefix compaction here
+   measured 3.2-4.3 SECONDS on the chip — large 1-D sorts/cumsums lower
+   pathologically on TPU — so ``valid`` is a boolean MASK, not a
+   prefix; consumers boolean-index. Block seams need no dedup at all:
+   lane 0 seeds from the carried exact symbol grid.
 
 Approximation contract (tests/test_clock_recovery_chunked.py): on a
 timing-locked stream with W >> the loop's convergence time, the emitted
@@ -94,9 +97,10 @@ def mm_symbols_chunked(x, hist, offset0, phase0, freq0, err0, bank,
     ``phase0`` / ``freq0`` / ``err0``: the carried loop state (err0 =
     (p1, p2, c1, c2) complex for complex MM, scalar ``last`` otherwise).
     Returns (syms, valid, positions, carry) with syms/valid/positions
-    flattened [K * msc] in global position order, valid a prefix mask
-    after dedup-compaction, and carry the lane-(K-1) final loop state
-    mapped back to block coordinates.
+    flattened [K * msc] LANE-MAJOR (valid entries are in global position
+    order by construction), ``valid`` a boolean MASK (not a prefix —
+    boolean-index to extract symbols), and carry the lane-(K-1) final
+    loop state mapped back to block coordinates.
     """
     cplx = jnp.iscomplexobj(x)
     P, T = bank.shape
@@ -358,18 +362,28 @@ def mm_symbols_chunked(x, hist, offset0, phase0, freq0, err0, bank,
     carry_f, (sr, si, pos, emit) = jax.lax.scan(
         step, carry0, None, length=msc // M)
 
-    # [msc, K] -> flatten, order by global position, dedup seam doubles
-    pos = pos.reshape(-1)
-    emit = emit.reshape(-1)
-    syms = (jax.lax.complex(sr, si) if cplx else sr).reshape(-1)
-    order = jnp.argsort(pos)                      # invalid slots -> +inf tail
-    pos, emit, syms = pos[order], emit[order], syms[order]
-    prev = jnp.concatenate([jnp.full((1,), -np.inf, pos.dtype), pos[:-1]])
-    dup = (pos - prev) < np.float32(omega / 2.0)
-    valid = emit & jnp.logical_not(dup)
-    # compact to a prefix (the layout every consumer relies on)
-    order2 = jnp.argsort(jnp.logical_not(valid), stable=True)
-    syms, valid, pos = syms[order2], valid[order2], pos[order2]
+    # SORT-FREE seam merge (r3): a global argsort + prefix compaction of
+    # the K*msc symbol slots measured 3.2-4.3 SECONDS on the chip (large
+    # 1-D sorts/cumsums lower pathologically on TPU — even a bare 541k
+    # cumsum is 3.1 s) and dominated the whole kernel. But no sort is
+    # needed: per-lane emissions are already chronological, lanes cover
+    # disjoint position ranges overlapping only at seams, and a seam
+    # duplicate can only be claimed by ADJACENT lanes — so ordering is
+    # lane-major [K, msc] by construction, and dedup is "lane k drops
+    # emissions within omega/2 of lane k-1's LAST emitted position"
+    # (a per-lane max + one elementwise mask). ``valid`` is therefore a
+    # boolean MASK, not a prefix — consumers boolean-index (the exact
+    # fallback kernels still return prefix masks, which boolean indexing
+    # also handles).
+    to_lanes = lambda a: a.reshape(-1, K).T            # noqa: E731
+    pos = to_lanes(pos)                                # [K, msc]
+    emit = to_lanes(emit)
+    syms = to_lanes((jax.lax.complex(sr, si) if cplx else sr).reshape(-1, K))
+    lastpos = jnp.max(jnp.where(emit, pos, -np.inf), axis=1)  # [K]
+    prev = jnp.concatenate([jnp.full((1,), -np.inf, jnp.float32),
+                            lastpos[:-1]])
+    valid = emit & (pos > prev[:, None] + np.float32(omega / 2.0))
+    syms, valid, pos = syms.reshape(-1), valid.reshape(-1), pos.reshape(-1)
 
     # carried loop state: lane K-1's final, mapped to next-block coords
     off_f = (carry_f[0][-1].astype(jnp.float32) + lane_goff[-1]

@@ -588,3 +588,25 @@ def test_constellation_ring_wraparound():
         np.testing.assert_array_equal(out.real, want.astype(np.float32))
     finally:
         eng.stop()
+
+
+def test_meteor_vfo_retune_is_state_only(tmp_path):
+    """Retuning a digital (meteor) VFO applies as a state write (dynamic
+    offset), not a graph rebuild — same contract as analog VFOs."""
+    from sdrpp_tpu.io.sources import TestSource
+
+    src = TestSource(600000.0, tones=[(50000.0, -20.0)], noise_dbfs=-60.0)
+    eng = ReceiverEngine(src, mode="meteor", offset=0.0, realtime=False,
+                         base_block=65536, fft_size=4096)
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 1), eng.error
+        step_before = eng._step
+        eng.control("set_offset", 50000.0)
+        b0 = eng.blocks
+        assert _wait(lambda: eng.blocks >= b0 + 2), eng.error
+        assert eng.vfos["vfo0"]["offset"] == 50000.0
+        assert eng._step is step_before  # no rebuild happened
+        assert eng.error is None
+    finally:
+        eng.stop()

@@ -93,7 +93,9 @@ class MeteorLRPTDecoder:
             return st, (syms.real, syms.imag, valid)
 
         self._step = jax.jit(step)
-        self._state = self.demod.init_state()
+        # built under jit: eager complex64 zeros would device_put c64,
+        # which the axon tunnel rejects (UNIMPLEMENTED)
+        self._state = jax.jit(self.demod.init_state)()
         self._chunks: list[np.ndarray] = []
 
     def process(self, iq: np.ndarray) -> int:

@@ -578,6 +578,19 @@ def cmd_decode(argv):
     cap = getattr(src, "num_frames", None)
     if cap is not None and cap >= bm:
         block = min(block, (cap // bm) * bm)  # short captures: one block
+    if vfo is not None:
+        # split-f32 transfer in both directions: the axon TPU tunnel
+        # cannot move complex64 across the host<->device boundary
+        import jax
+
+        from .utils.iq import split_iq
+
+        def _vstep(st, x2):
+            st, y = vfo(st, jax.lax.complex(x2[0], x2[1]))
+            return st, (y.real, y.imag)
+
+        vfo_step = jax.jit(_vstep)
+
     src_len = getattr(src, "num_frames", None)
     offset = nblocks = 0
     while args.blocks == 0 or nblocks < args.blocks:
@@ -585,9 +598,8 @@ def cmd_decode(argv):
             break
         iq = src.read(block)
         if vfo is not None:
-            from .utils.iq import to_host
-            vstate, iq = vfo(vstate, jnp.asarray(iq))
-            iq = to_host(iq)
+            vstate, (yr, yi) = vfo_step(vstate, jnp.asarray(split_iq(iq)))
+            iq = np.asarray(yr) + 1j * np.asarray(yi)
         if args.mode == "m17":
             audio, _ = dec.process(iq)
             audio_chunks.append(audio)

@@ -83,3 +83,15 @@ def test_cli_decode_meteor(tmp_path, repo_root):
     # all three payloads recovered (order preserved by the CADU stream)
     for p in golden_payload:
         assert any(np.array_equal(v, p) for v in vcdus)
+
+
+def test_cli_decode_with_vfo_resample(tmp_path, repo_root):
+    """Source rate != decoder rate: the decode path inserts an RxVFO and
+    moves IQ as split float32 (axon-safe). Smoke: runs clean on a
+    synthetic source and writes the soft-symbol file."""
+    out = tmp_path / "m.s"
+    r = _run_cli(["decode", "meteor", "--source", "test:300000",
+                  "--blocks", "2", "--block-size", "131072",
+                  "--out", str(out)], cwd=repo_root)
+    assert r.returncode == 0, r.stderr
+    assert out.exists() and out.stat().st_size > 0

@@ -153,15 +153,21 @@ def main():
 
     def _mm_chunked():
         from sdrpp_tpu.ops.clock_recovery_chunked import mm_symbols_chunked
-        sig = jax.lax.complex(jnp.cos(xl), jnp.sin(xl))
-        h = jnp.zeros(512 + mm.tap_count - 1, jnp.complex64)
-        return jax.jit(lambda s: jnp.sum(mm_symbols_chunked(
-            s, h, jnp.zeros((), jnp.int32), jnp.float32(0.0),
-            jnp.float32(150000.0 / 72000.0), None, mm.bank,
-            0.01, 0.001,
-            np.float32(150000.0 / 72000.0 * 0.99),
-            np.float32(150000.0 / 72000.0 * 1.01),
-            lanes_k=128, warmup=512)[0].real))(sig)
+
+        # complex views are formed IN-GRAPH: the axon tunnel cannot
+        # device_put complex64 (UNIMPLEMENTED), floats transfer fine
+        def f(x):
+            sig = jax.lax.complex(jnp.cos(x), jnp.sin(x))
+            hist = jnp.zeros(512 + mm.tap_count - 1, jnp.complex64)
+            return jnp.sum(mm_symbols_chunked(
+                sig, hist, jnp.zeros((), jnp.int32), jnp.float32(0.0),
+                jnp.float32(150000.0 / 72000.0), None, mm.bank,
+                0.01, 0.001,
+                np.float32(150000.0 / 72000.0 * 0.99),
+                np.float32(150000.0 / 72000.0 * 1.01),
+                lanes_k=128, warmup=512)[0].real)
+
+        return jax.jit(f)(xl)
 
     check("mm_symbols_chunked", _mm_chunked)
 

@@ -209,7 +209,6 @@ def mm_symbols_chunked(x, hist, offset0, phase0, freq0, err0, bank,
     fmin = np.float32(min_freq)
     fmax = np.float32(max_freq)
     one = np.float32(1.0)
-    iota_r = jnp.arange(R, dtype=jnp.int32)                # [R]
     iota_p = jnp.arange(P, dtype=jnp.int32)                # [P]
     mvec = jnp.arange(M, dtype=jnp.float32)[:, None]       # [M, 1]
     m1vec = jnp.arange(1, M + 1, dtype=jnp.float32)[:, None]

@@ -14,11 +14,13 @@ TIMING loop, and their fixes:
    TPU). Locked lanes all track the SAME transmitted symbol clock, so at
    symbol-step s their window starts differ by at most ~omega + jitter
    (their start phases are spread over one symbol, and omega_rel_limit
-   caps drift): every lane's T-tap window fits inside one shared
-   [R, K] tile whose start row is the across-lane minimum — a
-   dynamic-START static-SIZE slice, with per-lane tap selection as
-   one-hot masked sums and the 128-phase interpolation-bank row lookup
-   as a one-hot [K,128] x [128,T] matmul (MXU food).
+   caps drift): a group of M symbols x K lanes all interpolate from ONE
+   shared [R, K] slice whose start row is the across-lane minimum — a
+   dynamic-START static-SIZE slice. Within it, symbol m's rows sit in a
+   narrow band at the STATIC baseline floor(m*fmin), so per-symbol
+   windows are static slices and the offset/phase selection is small
+   one-hots over a ~20-row local band + a [M*K,128] x [128,T] bank
+   matmul — no gathers anywhere.
 
 2. **Seam symbol accounting** (a symbol straddling a lane boundary could
    be emitted twice or dropped if neighboring lanes' timing estimates

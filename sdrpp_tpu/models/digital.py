@@ -10,8 +10,11 @@ Reference chains:
   MM complex (decoder_modules/meteor_demodulator/src/meteor_demod.h:24-45,
   150-167, meteor_costas.h:24-56)
 
-Outputs are (symbols[max_syms], valid_mask[max_syms]) prefix-valid blocks
-from the MM synchronizer.
+Outputs are (symbols[max_syms], valid[max_syms]) blocks from the MM
+synchronizer where `valid` is a boolean MASK, not a prefix: the default
+chunk-parallel TPU path emits lane-major valid slots, so consumers MUST
+boolean-index (`symbols[np.asarray(valid).astype(bool)]`). Only the
+exact/fallback scalar kernel happens to produce a prefix-shaped mask.
 """
 
 from __future__ import annotations

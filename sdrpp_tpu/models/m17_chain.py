@@ -64,8 +64,11 @@ class M17Decoder:
             self._step = jax.jit(complex_input(self.demod))
         self._state, (symbols, valid) = self._step(
             self._state, jnp.asarray(split_iq(iq)))
-        nsym = int(np.asarray(valid).sum())
-        symbols = np.asarray(symbols)[:nsym].astype(np.float32)
+        keep = np.asarray(valid).astype(bool)  # mask, not prefix: the
+        # chunk-parallel MM emits lane-major valid slots, so boolean-index
+        # (a prefix slice would keep zero-filled slots and drop real
+        # symbols, garbling the 4FSK bitstream)
+        symbols = np.asarray(symbols)[keep].astype(np.float32)
         self.last_symbols = symbols
         events: list[M17LSF] = []
         audio = []

@@ -789,8 +789,14 @@ def costas_phases_chunked(s1: jax.Array, s2: jax.Array, hist1: jax.Array,
         z = jnp.mean(jax.lax.complex(jnp.cos(d), jnp.sin(d)), axis=-1)
         est = jnp.arctan2(z.imag, z.real) / M
         coh = jnp.sqrt(z.real * z.real + z.imag * z.imag)
+        # coherence alone is fooled by an ALL-ZERO (squelched) window:
+        # arctan2(0,0)=0 phases give d=0, z=1, coh=1 — so the gate also
+        # requires window energy; a dead window inherits the carried
+        # loop frequency as documented
+        energy = jnp.mean(a[..., :W] ** 2 + b[..., :W] ** 2, axis=-1)
+        ok = (coh > np.float32(0.5)) & (energy > np.float32(1e-12))
         carried = jnp.broadcast_to(freq0[..., None], (*lead, K))
-        seed_freq = jnp.clip(jnp.where(coh > np.float32(0.5), est, carried),
+        seed_freq = jnp.clip(jnp.where(ok, est, carried),
                              np.float32(min_freq), np.float32(max_freq))
     t0 = jnp.arange(K, dtype=jnp.float32) * np.float32(L) - np.float32(W)
     seed_phase = phase0[..., None] + seed_freq * t0

@@ -315,6 +315,24 @@ def test_meteor_costas_chunked_tracks_unique_lock():
     np.testing.assert_allclose(float(ff), fo, atol=1e-4)
 
 
+def test_costas_chunked_zero_block_inherits_carried_freq():
+    """An all-zero (squelched) block must NOT reseed lanes at est=0: the
+    raw coherence gate is fooled by arctan2(0,0)=0 phases (d=0 -> |z|=1),
+    so the seed gate also checks window energy and falls back to the
+    CARRIED loop frequency. With zero input the error is identically
+    zero, so every lane free-runs at its seed: the final carried freq
+    must still be the pre-gap loop frequency."""
+    n, W, fo = 32768, 128, 0.01
+    z = jnp.zeros(n, jnp.float32)
+    zh = jnp.zeros(W, jnp.float32)
+    out, _, _, pf, ff = costas_phases_chunked(
+        z, z, zh, zh,
+        jnp.asarray(np.float32(0.3)), jnp.asarray(np.float32(fo)),
+        4, 0.03, 0.0005, -0.5, 0.5, lanes_k=64, interpret=True)
+    np.testing.assert_allclose(float(ff), fo, atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_costas_chunked_exact_mode_is_bit_identical(monkeypatch):
     monkeypatch.setattr(SP, "LOOPS_MODE", "exact")
     n = 32768

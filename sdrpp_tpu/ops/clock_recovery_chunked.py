@@ -134,8 +134,9 @@ def mm_symbols_chunked(x, hist, offset0, phase0, freq0, err0, bank,
     while M > 8 and warm_syms // M < 6:
         M //= 2
     stride_max = int(np.ceil(max_freq))
-    # lane start positions spread over ONE symbol (+ warm-up jitter)
-    spread = stride_max + 4
+    # lane start positions spread over ONE symbol (+ warm-up jitter +
+    # lane 0's own-integrator wander relative to the ensemble pack)
+    spread = stride_max + 6
     # shared-window height: lane start spread + the M-1 strides the
     # group advances + taps + margin
     R = spread + (M - 1) * stride_max + T + 8
@@ -189,7 +190,12 @@ def mm_symbols_chunked(x, hist, offset0, phase0, freq0, err0, bank,
 
     # lane-local emission window [emit_lo, W + L): buf index jL + o - W in
     # [0, n), lanes j > 0 reaching back pad_e extra samples so seam
-    # symbols are always claimed by at least one locked lane. Lane 0's
+    # symbols are always claimed by at least one locked lane. Lane K-1's
+    # ceiling excludes the replicate-padding (its payload tail holds
+    # pad = K*L - n copies of x[-1], not stream data): without this the
+    # carry freezes at W + L and maps to buf n + pad, silently skipping
+    # pad/omega REAL symbols at every block seam (measured: 41 lost
+    # symbols per 62500-sample meteor block at pad = 86). Lane 0's
     # threshold is POSITIONAL, anchored on the CARRIED grid origin p0
     # with a small drift allowance: its first grid symbol sits exactly AT
     # p0, and the warm-up's error feedback can realize it at p0 - eps —
@@ -198,11 +204,17 @@ def mm_symbols_chunked(x, hist, offset0, phase0, freq0, err0, bank,
     # well under one symbol: lane 0's backward warm-up grid always has a
     # point one symbol below p0 (the previous block's last emission),
     # which a looser threshold would re-emit as a cross-block duplicate
-    # the dedup pass cannot see.
-    allow = np.float32(min(0.5, omega / 4.0))
+    # the dedup pass cannot see. 0.4 symbols accepts the realization
+    # jitter of the shared-freq warm-up (which can exceed the old
+    # 0.24-symbol margin at meteor's omega ~2.08 — measured as the first
+    # cold-start symbol landing at p0 - 0.52 and being dropped) while
+    # still rejecting the p0 - omega point with a 0.6-symbol margin.
+    allow = np.float32(0.4 * omega)
     emit_lo_f = jnp.where(jnp.arange(K) == 0, p0 - allow,
                           np.float32(W - pad_e))
-    emit_hi = np.int32(W + L)
+    pad = K * L - n
+    emit_hi = jnp.where(jnp.arange(K) == K - 1,
+                        np.int32(W + L - pad), np.int32(W + L))  # [K]
     lane_goff = (jnp.arange(K, dtype=jnp.float32) * L
                  - np.float32(W))  # ext-local offset -> buf index
 
@@ -237,7 +249,14 @@ def mm_symbols_chunked(x, hist, offset0, phase0, freq0, err0, bank,
         err_state = carry[3:]
         pos = offset.astype(jnp.float32) + phase           # [K]
 
-        r0 = jnp.clip(jnp.min(jnp.clip(offset, 0, cols - T)), 0, cols - R)
+        # window anchor = min offset over lanes still below their emit
+        # ceiling: a lane that froze early (lane K-1 stops `pad` samples
+        # before the others) must not drag the anchor down and push the
+        # active pack out of its per-symbol band
+        active = offset < emit_hi
+        r0 = jnp.clip(jnp.min(jnp.where(active,
+                                        jnp.clip(offset, 0, cols - T),
+                                        np.int32(cols - T))), 0, cols - R)
         win_re = jax.lax.dynamic_slice(lre, (r0, 0), (R, K))
         win_im = jax.lax.dynamic_slice(lim, (r0, 0), (R, K)) if cplx else None
         win = jnp.stack([win_re, win_im]) if cplx else win_re[None]
@@ -300,11 +319,40 @@ def mm_symbols_chunked(x, hist, offset0, phase0, freq0, err0, bank,
                     - yr1 * jnp.where(outr > 0, one, -one)
             error = jnp.clip(error, -one, one)             # [M, K]
 
+            # SHARED (ensemble) freq integrator for lanes 1..K-1: every
+            # lane samples the same transmitted symbol clock, so the og
+            # accumulator integrates the ACROSS-LANE MEAN error — one
+            # clock-rate estimate with K-fold less noise than any single
+            # loop. This is also what keeps the shared interpolation
+            # window sound: with per-lane integrators, data-driven freq
+            # bias (M&M self-noise — the exact loop itself wanders
+            # ~0.25% on a realistic RRC/QPSK stream) made lane offsets
+            # spread ~1 sample per 32-symbol step until leader lanes
+            # exited the static J-row band and silently stopped emitting
+            # (measured: 149 dropped symbols per 62.5k-sample meteor
+            # block). Differential drift is now structurally zero;
+            # per-lane phase pull-in still runs through the mu term.
+            # Lane 0 keeps its OWN integrator: its role is re-tracing
+            # the carried grid through the warm-up (exactly on a cold
+            # start, where zero history gives zero errors), and the
+            # ensemble's acquisition transients would wobble it off that
+            # grid (measured: first cold-start symbol realized at
+            # p0 + 0.53 instead of p0, costing one symbol of parity).
             A = jnp.cumsum(error, axis=0)                  # [M, K]
             B = jnp.cumsum(mvec * error, axis=0)
-            pos_m = pos[None] + m1vec * freq[None] \
-                + og * (m1vec * A - B) + mu * A
-            freq_m = jnp.clip(freq[None] + og * A, fmin, fmax)
+            ebar = jnp.mean(error, axis=1, keepdims=True)  # [M, 1]
+            Abar = jnp.cumsum(ebar, axis=0)
+            Bbar = jnp.cumsum(mvec * ebar, axis=0)
+            lane0 = (jnp.arange(K) == 0)[None, :]
+            pos_m = jnp.where(
+                lane0,
+                pos[None] + m1vec * freq[None]
+                + og * (m1vec * A - B) + mu * A,
+                pos[None] + m1vec * freq[None]
+                + og * (m1vec * Abar - Bbar) + mu * A)
+            freq_m = jnp.clip(
+                jnp.where(lane0, freq[None] + og * A,
+                          freq[None] + og * Abar), fmin, fmax)
             return o_int, ok, outr, outi, c0r, c0i, pos_m, freq_m
 
         # PREDICT: open-loop positions from the carried (pos, freq) —
@@ -426,6 +474,17 @@ class MMClockRecoveryChunked(MMClockRecoveryPallas):
         from .scans_pallas import _chunk_lanes_for
         return _chunk_lanes_for(n, self.warmup, self.max_lanes)
 
+    def _group_for(self) -> int:
+        # mirror of mm_symbols_chunked's adaptive group-size computation:
+        # the warm-up must span >= 6 groups so the between-group feedback
+        # can re-converge a data-aided seed
+        omega = float(self.min_freq + self.max_freq) / 2.0
+        warm_syms = max(int(self.warmup / omega), 1)
+        M = _GROUP
+        while M > 8 and warm_syms // M < 6:
+            M //= 2
+        return M
+
     def max_symbols(self, n: int) -> int:
         k = self._lanes_for(n)
         if k >= 1 and (self.interpret or _pallas_on_tpu()):
@@ -433,7 +492,8 @@ class MMClockRecoveryChunked(MMClockRecoveryPallas):
             W = self.warmup
             msc = int(np.ceil((L + W + self.tap_count)
                               / float(self.min_freq))) + 1
-            return k * _GROUP * (-(-msc // _GROUP))
+            M = self._group_for()  # must agree with the kernel's rounding
+            return k * M * (-(-msc // M))
         return super().max_symbols(n)
 
     def __call__(self, state, x):

@@ -149,6 +149,74 @@ def test_mm_chunked_positions_strictly_monotone():
     assert d.max() < 1.5 * sps, d.max()
 
 
+def test_mm_chunked_no_seam_loss_with_lane_padding():
+    """Two r4 regressions, caught on a realistic RRC-shaped QPSK stream
+    at meteor's omega ~2.083 (reference meteor_demod.h:150-167 rates):
+
+    1. When K*ceil(n/K) > n, lane K-1's payload tail is replicate
+       padding; its emit ceiling must exclude it or the carry maps to
+       buf n + pad and every block seam silently drops pad/omega REAL
+       symbols (measured: 41/block at n=62500, K=122).
+    2. Per-lane freq integrators let data-driven M&M self-noise spread
+       lane offsets past the static interpolation band, making leader
+       lanes silently stop emitting (measured: 149 more symbols lost
+       per block). The shared ensemble integrator bounds the spread.
+
+    Together these cost ~0.6%/block — fatal for framed downstreams
+    (LRPT Viterbi, M17). Contract: per-block counts exact to +-2."""
+    from sdrpp_tpu.ops.resample import RRCInterpolator
+
+    rng = np.random.default_rng(5)
+    nsym = 60000
+    ph = np.pi / 4 + np.pi / 2 * rng.integers(0, 4, nsym)
+    sh = RRCInterpolator(72000.0, 150000.0, 0.35, rrc_tap_count=31,
+                         dtype=jnp.complex64)
+    wave = np.asarray(sh(sh.init_state(),
+                         jnp.asarray(np.exp(1j * ph).astype(np.complex64)))[1])
+    wave = wave.astype(np.complex64)
+    wave += 0.02 * (rng.standard_normal(len(wave))
+                    + 1j * rng.standard_normal(len(wave))).astype(np.complex64)
+    # matched filter so the MM sees symbol-shaped pulses
+    from sdrpp_tpu.ops import taps as taps_mod
+    from sdrpp_tpu.ops.fir import FIR
+    mf = FIR(taps_mod.root_raised_cosine_rate(31, 0.35, 72000., 150000.),
+             dtype=jnp.complex64)
+    y = np.asarray(mf(mf.init_state(), jnp.asarray(wave))[1])
+    y = (y / np.abs(y).max()).astype(np.complex64)
+
+    omega = 150000.0 / 72000.0
+    chk = MMClockRecoveryChunked(omega, 0.001, 0.01, 0.01,
+                                 complex_input=True, interpret=True)
+    bs = len(y) // 2                       # 62500: pad = 86 at K = 122
+    assert chk._lanes_for(bs) * (-(-bs // chk._lanes_for(bs))) > bs, \
+        "test must exercise a padded lane layout"
+    st = chk.init_state()
+    for i in range(2):
+        st, (syms, valid) = chk(st, jnp.asarray(y[i * bs:(i + 1) * bs]))
+        cnt = int(np.asarray(valid).astype(bool).sum())
+        assert abs(cnt - bs / omega) <= 3, (i, cnt, bs / omega)
+    # the carry must continue the grid, not skip the padding
+    assert int(np.asarray(st["offset"])) < int(np.ceil(omega)) + 1
+
+
+def test_mm_chunked_max_symbols_matches_kernel_output():
+    """max_symbols must replicate the kernel's ADAPTIVE group size (M in
+    {8,16,32} from the warm-up span), not the static _GROUP=32 ceiling:
+    M17's omega=10 gives M=8, where rounding msc to 32 would report a
+    length the kernel never produces — preallocating callers would
+    shape-mismatch."""
+    for omega in (10.0, 4.0, 2.0):  # M = 8, 16, 32 respectively
+        kw = dict(omega=omega, omega_gain=0.001, mu_gain=0.01,
+                  omega_rel_limit=0.01, complex_input=False)
+        chk = MMClockRecoveryChunked(**kw, warmup=512, interpret=True)
+        n = 1 << 15
+        sig = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+        _, (syms, valid) = chk(chk.init_state(), jnp.asarray(sig))
+        assert syms.shape[-1] == chk.max_symbols(n), \
+            (omega, syms.shape[-1], chk.max_symbols(n))
+        assert valid.shape[-1] == chk.max_symbols(n)
+
+
 def test_mm_chunked_engages_midsize_block():
     """8k blocks now chunk (k = 16 sub-tile lanes, the round-2 dead
     zone): same count, 100% matching decisions vs the sequential loop.

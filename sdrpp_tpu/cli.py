@@ -419,8 +419,10 @@ def cmd_ui(argv):
     _add_source_args(p)
     p.add_argument("--addr", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8073)
-    p.add_argument("--mode", default="wfm",
-                   choices=["wfm", "nfm", "am", "usb", "lsb", "dsb", "cw"])
+    from .misc.webui import ALL_MODES
+    p.add_argument("--mode", default="wfm", choices=ALL_MODES,
+                   help="demod mode; digital modes (e.g. meteor) start a "
+                        "constellation VFO instead of audio")
     p.add_argument("--offset", type=float, default=0.0, help="VFO offset Hz")
     p.add_argument("--bandwidth", type=float, default=None)
     p.add_argument("--squelch", type=float, default=None)
@@ -682,6 +684,12 @@ def main(argv=None):
         print(__doc__)
         print("commands:", ", ".join(COMMANDS))
         return 0 if argv and argv[0] in ("-h", "--help") else 1
+    # warm starts: persist compiled executables across processes so a
+    # second `run`/`ui`/`decode` with the same chain config skips XLA
+    # compile (utils/compile_cache; opt out with SDRPP_TPU_NO_CACHE=1)
+    from .utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     return COMMANDS[argv[0]](argv[1:])
 
 

@@ -108,6 +108,11 @@ class ReceiverEngine:
         self.blocks = 0
         self.samples = 0
         self.error: str | None = None
+        self.failures = 0  # total engine-step failures survived
+        # config revert points for the recovery ladder: _pending_good is
+        # the config a fresh _build ran under; one clean step promotes it
+        self._last_good_vfos: dict | None = None
+        self._pending_good: dict | None = None
         self._build()
 
     # ---- chain construction ----
@@ -137,6 +142,7 @@ class ReceiverEngine:
         import math
 
         import jax
+        import jax.numpy as jnp
 
         from ..models.radio import RadioChannel
         from ..signal_path import IQFrontEnd
@@ -168,12 +174,24 @@ class ReceiverEngine:
         frontend = IQFrontEnd(self.samplerate, fft_size=self.fft_size,
                               fft_rate=self.fft_rate, block_size=block)
 
+        digital = {name for name, cfg in cfgs.items()
+                   if cfg["mode"] in DIGITAL_MODES}
+
         def step(state, x_split):
             x = jax.lax.complex(x_split[0], x_split[1])
             fe, (iq, fft) = frontend(state[0], x)
             new_cs, audio = {}, {}
             for name, chan in channels.items():
-                new_cs[name], audio[name] = chan(state[1][name], iq)
+                new_cs[name], out = chan(state[1][name], iq)
+                if name in digital:
+                    # axon-safe readback: the tunnel cannot transfer
+                    # complex64 host<->device in either direction
+                    # (PERFORMANCE.md; same split-float discipline as
+                    # bench.py and `cli decode`) — ship symbols as
+                    # stacked float32 [2, max_syms] + the valid mask
+                    syms, valid = out
+                    out = (jnp.stack([syms.real, syms.imag]), valid)
+                audio[name] = out
             return (fe, new_cs), (audio, fft)
 
         # offsets live in STATE (dynamic VFOs), so they don't participate
@@ -215,6 +233,7 @@ class ReceiverEngine:
         self._step = jax.jit(step)
         self._state = (fe_state, chan_states)
         self._built_cfgs = cfgs
+        self._pending_good = {k: dict(v) for k, v in cfgs.items()}
 
     def attach_bookmarks(self, config_path=None):
         """Enable the frequency manager (misc_modules/frequency_manager):
@@ -432,6 +451,7 @@ class ReceiverEngine:
 
         t_start = time.monotonic()
         sent = 0.0
+        consecutive = 0
         while not self._stop.is_set():
             try:
                 self._apply_controls()
@@ -443,11 +463,15 @@ class ReceiverEngine:
                 outs = {}
                 for name, a in audio.items():
                     if name in self._digital:
-                        # (symbols, valid): valid is a boolean MASK
-                        # (chunk-parallel MM emits lane-major, not
-                        # prefix-compacted); no audio for digital modes
-                        syms = np.asarray(a[0])
+                        # (split_syms [2, max_syms] f32, valid): valid is
+                        # a boolean MASK (chunk-parallel MM emits
+                        # lane-major, not prefix-compacted); symbols come
+                        # back as split float32 (the axon tunnel cannot
+                        # transfer complex64) and re-form complex HERE,
+                        # on the host; no audio for digital modes
+                        sf = np.asarray(a[0], np.float32)
                         keep = np.asarray(a[1]).astype(bool)
+                        syms = (sf[0] + 1j * sf[1]).astype(np.complex64)
                         self._write_constellation(name, syms[keep])
                         continue
                     out = np.asarray(a[0] if isinstance(a, tuple) else a,
@@ -460,10 +484,47 @@ class ReceiverEngine:
                         # receiver's jit consumes it device-to-device)
                         self._rds[name].process(a[1])
                 fft = np.asarray(fft)
-            except Exception as e:  # surface to /api/state instead of dying
+                consecutive = 0
+                if self._pending_good is not None:
+                    # the rebuilt/reconfigured graph survived a full
+                    # step: promote it to last-known-good
+                    self._last_good_vfos = self._pending_good
+                    self._pending_good = None
+            except Exception as e:
+                # Resilience (reference: the render/DSP loop never dies,
+                # main_window.cpp:258-709; our cli run wires StepWatchdog
+                # the same way): a transient tunnel blip or a bad mode
+                # switch must degrade gracefully, not kill every VFO.
+                # Ladder: retry -> re-trace -> revert to last-good config
+                # -> keep retrying with backoff. Never break on failure.
+                consecutive += 1
+                self.failures += 1
                 self.error = f"{type(e).__name__}: {e}"
-                log.error(f"engine: {self.error}")
-                break
+                log.error(f"engine (failure {consecutive}): {self.error}")
+                if self._stop.is_set():
+                    break
+                try:
+                    if consecutive == 2:
+                        log.warning("engine: re-tracing the step graph")
+                        self._build()
+                    elif consecutive == 3 and self._last_good_vfos \
+                            is not None:
+                        log.warning("engine: reverting to last-good VFO "
+                                 "config")
+                        with self.lock:
+                            self.vfos = {k: dict(v) for k, v in
+                                         self._last_good_vfos.items()}
+                            if self.selected not in self.vfos:
+                                self.selected = next(iter(self.vfos))
+                            self._controls.clear()
+                        self._pending_good = None
+                        self._build()
+                except Exception as e2:  # rebuild itself failed: backoff
+                    self.error = f"{type(e2).__name__}: {e2}"
+                    log.error(f"engine: rebuild failed: {self.error}")
+                time.sleep(min(0.5 * consecutive, 5.0))
+                t_start = time.monotonic() - sent  # resync realtime clock
+                continue
             with self.lock:
                 vol = 0.0 if self.muted else self.volume ** 2  # sink.cpp gain
             pcms = {name: np.clip(out * (vol * 32767.0), -32768,
@@ -645,6 +706,7 @@ class ReceiverEngine:
                 "running": self._thread is not None
                            and self._thread.is_alive(),
                 "error": self.error,
+                "failures": self.failures,
             }
 
     # ---- lifecycle ----

@@ -610,3 +610,63 @@ def test_meteor_vfo_retune_is_state_only(tmp_path):
         assert eng.error is None
     finally:
         eng.stop()
+
+
+def test_engine_survives_step_failure():
+    """The engine loop must treat a step exception as a transient (retry,
+    then re-trace) instead of dying: on the axon tunnel a spurious
+    UNIMPLEMENTED can hit any block (PERFORMANCE.md), and in r3 one blip
+    permanently killed every VFO (VERDICT r3 weak #2)."""
+    eng = _engine()
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 2), eng.error
+        real_step = eng._step
+        boom = {"left": 2}
+
+        def flaky(state, x):
+            if boom["left"] > 0:
+                boom["left"] -= 1
+                raise RuntimeError("UNIMPLEMENTED: TPU backend error")
+            return real_step(state, x)
+
+        eng._step = flaky
+        b0 = eng.blocks
+        # survives the two injected failures (second one triggers a
+        # re-trace, which also replaces the flaky wrapper) and streams on
+        assert _wait(lambda: eng.blocks >= b0 + 3), eng.error
+        assert eng.failures >= 1
+        assert eng._thread.is_alive()
+        st = eng.snapshot()
+        assert st["running"] and st["failures"] >= 1
+    finally:
+        eng.stop()
+
+
+def test_engine_reverts_bad_mode_switch(monkeypatch):
+    """A mode switch whose graph cannot be built/run must degrade to the
+    last-good config, not kill the session (reference: live reconfig
+    without teardown, radio_module.h:498-580)."""
+    import sdrpp_tpu.models.lrpt as lrpt
+
+    class Broken:
+        def __init__(self, *a, **kw):
+            raise RuntimeError("synthetic meteor build failure")
+
+    eng = _engine()
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 2), eng.error
+        monkeypatch.setattr(lrpt, "MeteorChannel", Broken)
+        eng.control("set_mode", "meteor")
+        # ladder: fail -> retry -> re-trace (fails) -> revert to nfm
+        assert _wait(lambda: eng.vfos["vfo0"]["mode"] == "nfm", timeout=60)
+        b0 = eng.blocks
+        assert _wait(lambda: eng.blocks >= b0 + 2), eng.error
+        assert eng._thread.is_alive()
+        assert eng.failures >= 1
+        # and audio keeps flowing on the reverted analog mode
+        a0 = eng.audio_written("vfo0")
+        assert _wait(lambda: eng.audio_written("vfo0") > a0)
+    finally:
+        eng.stop()

@@ -245,6 +245,138 @@ def _bench_aggregate(use_cpu: bool) -> float:
     return K * CHANNELS * n / per_step
 
 
+def _bench_meteor(use_cpu: bool) -> float:
+    """BASELINE config #5's front half: the full MeteorDemod chain
+    (RRC matched filter -> FastAGC -> Costas QPSK -> chunk-parallel MM
+    clock recovery) on a 2^20-sample 1-D block — input-samples/s.
+
+    The checksum consumes EVERYTHING the real LRPT consumer consumes
+    (symbols re/im AND the valid mask), each weighted by position:
+    the MM reorders/compacts data, and a permutation-invariant sum
+    would let XLA delete the merge (the r3 hidden-sort trap)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdrpp_tpu.models.digital import MeteorDemod
+
+    demod = MeteorDemod()  # 72 ksym QPSK at 150 kHz, meteor module params
+    n = 1 << (18 if use_cpu else 20)
+    K = 2 if use_cpu else 4
+
+    # RRC-shaped QPSK base so the loops run in their locked regime (the
+    # compute is data-independent, but lock keeps freq/offset dynamics in
+    # the production envelope)
+    rng = np.random.default_rng(2)
+    sps = 150000.0 / 72000.0
+    nsym = int(n / sps) + 4
+    ph = np.pi / 4 + np.pi / 2 * rng.integers(0, 4, nsym)
+    tsym = np.floor(np.arange(n) / sps).astype(int)
+    iq = np.exp(1j * ph)[np.clip(tsym, 0, nsym - 1)]
+    base = jnp.asarray(np.stack([iq.real, iq.imag]).astype(np.float32))
+
+    msym = demod.max_symbols(n)
+    iota = jnp.arange(msym, dtype=jnp.float32) * np.float32(1e-6)
+
+    @jax.jit
+    def step(state, xb):
+        def body(carry, _):
+            st, salt = carry
+            x = jax.lax.complex(xb[0] + salt, xb[1])
+            ds, (syms, valid) = demod(st, x)
+            c = jnp.sum(syms.real * iota) + jnp.sum(syms.imag * iota) \
+                + jnp.sum(valid.astype(jnp.float32) * iota)
+            return (ds, c * np.float32(1e-20)), c
+
+        (state, _), cs = jax.lax.scan(body, (state, jnp.float32(0.0)),
+                                      None, length=K)
+        return state, jnp.sum(cs)
+
+    make_state = jax.jit(demod.init_state)
+    per_step = _measure(step, make_state, base, iters=4 if use_cpu else 8)
+    return K * n / per_step
+
+
+def _bench_squelch_mute(use_cpu: bool):
+    """The NFM bank with the squelch mute branch ENGAGED in the measured
+    path (VERDICT r3 #6): half the channels carry a strong tone, half
+    sit at the noise floor, threshold between — so the hysteresis /
+    unmute-counter state machine actually mutes on-device. Returns
+    (channels*input-rate samples/s, muted_ok) where muted_ok asserts the
+    below-threshold channels produced all-zero audio."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdrpp_tpu.ops.channelizer import FFTChannelizerBank
+    from sdrpp_tpu.ops.fm import Quadrature
+    from sdrpp_tpu.ops.fir import FIR
+    from sdrpp_tpu.ops.scans import Squelch
+    from sdrpp_tpu.ops import taps as taps_mod
+
+    offsets = np.linspace(-FS_MID * 0.4, FS_MID * 0.4, CHANNELS)
+    vfo = FFTChannelizerBank(offsets, FS_MID, IF_RATE, bandwidth=BANDWIDTH)
+    squelch = Squelch(-50.0, sub_blocks=1, lead_shape=(CHANNELS,))
+    demod = Quadrature(BANDWIDTH / 2.0, IF_RATE, lead_shape=(CHANNELS,))
+    audio_taps = taps_mod.low_pass(BANDWIDTH / 2.0, BANDWIDTH * 0.05,
+                                   IF_RATE)
+    audio_fir = FIR(audio_taps, dtype=jnp.float32, lead_shape=(CHANNELS,))
+
+    n = 1 << (16 if use_cpu else 18)
+    assert n % vfo.block_multiple == 0
+    K = 4 if use_cpu else 8
+
+    # even channels: strong FM carrier well above -50 dB; odd channels:
+    # noise floor around -80 dB -> squelch must OPEN evens, MUTE odds
+    rng = np.random.default_rng(3)
+    t = np.arange(n) / FS_MID
+    x = (1e-4 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)))
+    for ch in range(0, CHANNELS, 2):
+        fm = np.exp(1j * (2 * np.pi * offsets[ch] * t
+                          + 0.5 * np.sin(2 * np.pi * 1000.0 * t)))
+        x = x + 0.25 * fm
+    x = np.stack([x.real, x.imag]).astype(np.float32)
+    xk = jnp.asarray(np.broadcast_to(x, (K, 2, n)).copy())
+
+    @jax.jit
+    def step(state, xs):
+        def body(st, xb):
+            x = jax.lax.complex(xb[0], xb[1])
+            vs, y = vfo(st[0], x)
+            ss, y = squelch(st[1], y)
+            qs, y = demod(st[2], y)
+            fs, y = audio_fir(st[3], y)
+            # per-channel |audio| sums: the mute assertion AND the
+            # full-output checksum in one reduction
+            per_ch = jnp.sum(jnp.abs(y.astype(jnp.float32)), axis=-1)
+            return (vs, ss, qs, fs), per_ch
+
+        state, per_ch = jax.lax.scan(body, state, xs)
+        return state, jnp.sum(per_ch, axis=0)  # [CHANNELS]
+
+    make_state = jax.jit(lambda: (vfo.init_state(), squelch.init_state(),
+                                  demod.init_state(),
+                                  audio_fir.init_state()))
+
+    state = make_state()
+
+    def run(k):
+        t0 = time.perf_counter()
+        st = state
+        for _ in range(k):
+            st, c = step(st, xk)
+        c = np.asarray(c)  # sync via full [CHANNELS] f32 readback
+        return time.perf_counter() - t0, c
+
+    run(1)
+    t1, per_ch = run(1)
+    tn, _ = run(8 if use_cpu else 16)
+    per_step = max((tn - t1) / ((8 if use_cpu else 16) - 1), 1e-9)
+    # squelch state carries across warm-up blocks, so by now odd channels
+    # are muted: their audio must be EXACTLY zero on-device
+    muted_ok = bool(np.all(per_ch[1::2] == 0.0)
+                    and np.all(per_ch[0::2] > 0.0))
+    return K * CHANNELS * n / per_step, muted_ok
+
+
 def _bench_ssb(use_cpu: bool) -> float:
     """BASELINE config #4's mode family: the 64-channel SSB bank with
     Squelch + auto AGC inside the measured path (channels x input-rate)."""
@@ -312,8 +444,12 @@ def _attempt(use_cpu: bool, strict_cal: bool) -> dict:
     aggregate = _bench_aggregate(use_cpu)
     ssb = _bench_ssb(use_cpu)
     cal_a = cal_now()
+    meteor = _bench_meteor(use_cpu)
+    mute_rate, muted_ok = _bench_squelch_mute(use_cpu)
+    cal_m = cal_now()
     return {"wideband": wideband, "aggregate": aggregate, "ssb": ssb,
-            "cal": cal_w, "cal_after": cal_a}
+            "meteor": meteor, "mute_rate": mute_rate, "muted_ok": muted_ok,
+            "cal": cal_w, "cal_after": cal_a, "cal_meteor": cal_m}
 
 
 def main():
@@ -371,8 +507,11 @@ def main():
         return
 
     cal, cal_a = result["cal"], result["cal_after"]
+    cal_m = result["cal_meteor"]
     degraded = "" if cal["tflops"] >= 0.5 * HEALTHY_TFLOPS or use_cpu \
         else " DEGRADED-TUNNEL"
+    mute_note = "muted-channels-zeroed" if result["muted_ok"] \
+        else "MUTE-ASSERT-FAILED"
     print(json.dumps({
         "metric": "wideband_e2e_iq_input_throughput",
         "value": result["wideband"],
@@ -383,12 +522,19 @@ def main():
                  "sample traverses every stage; 64-ch NFM bank aggregate: "
                  f"{result['aggregate'] / 1e9:.2f} Gsamp/s; 64-ch SSB bank "
                  "(Squelch + auto AGC, BASELINE config #4 mode family): "
-                 f"{result['ssb'] / 1e9:.2f} Gsamp/s; sync-calibrated "
-                 f"{cal['tflops']:.1f}/{cal_a['tflops']:.1f} TFLOP/s "
-                 f"true-f32 matmul before/after{degraded})"),
+                 f"{result['ssb'] / 1e9:.2f} Gsamp/s; meteor LRPT chain "
+                 "(RRC->AGC->Costas->MM, BASELINE config #5 front half): "
+                 f"{result['meteor'] / 1e6:.1f} Msamp/s; 64-ch NFM bank w/ "
+                 f"squelch mute ENGAGED on half the channels "
+                 f"({mute_note}): {result['mute_rate'] / 1e9:.2f} Gsamp/s; "
+                 "sync-calibrated "
+                 f"{cal['tflops']:.1f}/{cal_a['tflops']:.1f}/"
+                 f"{cal_m['tflops']:.1f} TFLOP/s true-f32 matmul "
+                 f"after wideband/banks/meteor{degraded})"),
         "vs_baseline": result["wideband"] / 1e9,
         "calibration": {"tflops_after_wideband": cal["tflops"],
                         "tflops_after_banks": cal_a["tflops"],
+                        "tflops_after_meteor": cal_m["tflops"],
                         "healthy_band_tflops": HEALTHY_TFLOPS,
                         "matmul_ms": cal["matmul_ms"]},
     }))

@@ -343,12 +343,25 @@ class ReceiverEngine:
                          level=float(value.get("level", -50.0)))
             if value["stop"] <= value["start"] or value["interval"] <= 0:
                 raise ValueError("need stop > start and interval > 0")
+        if action in ("add_vfo", "delete_vfo", "select_vfo"):
+            # validate against the EFFECTIVE vfo set (current state with
+            # the queued add/delete controls applied): controls apply at
+            # the next block boundary, so an add immediately followed by
+            # a delete/select of the same name must validate in request
+            # order, not against the stale pre-queue state
+            with self.lock:
+                effective = set(self.vfos)
+                for qa, qv in self._controls:
+                    if qa == "add_vfo":
+                        effective.add(qv["name"])
+                    elif qa == "delete_vfo" and len(effective) > 1:
+                        effective.discard(qv)
         if action == "add_vfo":
             if not isinstance(value, dict) or not value.get("name"):
                 raise ValueError("add_vfo needs {name, mode?, offset?}")
             if value.get("mode", "nfm") not in ALL_MODES:
                 raise ValueError(f"unknown mode {value.get('mode')!r}")
-            if value["name"] in self.vfos:
+            if value["name"] in effective:
                 raise ValueError(f"vfo {value['name']!r} already exists")
             value = dict(value, offset=float(value.get("offset", 0.0)),
                          bandwidth=(None if value.get("bandwidth") is None
@@ -356,9 +369,9 @@ class ReceiverEngine:
                          squelch=(None if value.get("squelch") is None
                                   else float(value["squelch"])))
         if action in ("delete_vfo", "select_vfo"):
-            if value not in self.vfos:
+            if value not in effective:
                 raise ValueError(f"unknown vfo {value!r}")
-            if action == "delete_vfo" and len(self.vfos) == 1:
+            if action == "delete_vfo" and len(effective) == 1:
                 raise ValueError("cannot delete the last vfo")
         # select_vfo queues with the rest so 'tune then switch vfo' applies
         # in request order at the next block boundary

@@ -670,3 +670,25 @@ def test_engine_reverts_bad_mode_switch(monkeypatch):
         assert _wait(lambda: eng.audio_written("vfo0") > a0)
     finally:
         eng.stop()
+
+
+def test_queued_add_then_delete_validates_in_request_order():
+    """Controls apply at block boundaries; an add_vfo immediately
+    followed by delete_vfo/select_vfo of the same name must validate
+    against the EFFECTIVE (queue-applied) vfo set — found by the axon
+    soak tool racing the engine thread."""
+    eng = _engine()
+    try:
+        # no engine thread: controls stay queued, exposing the race
+        eng.control("add_vfo", {"name": "q1", "offset": 0.0})
+        eng.control("select_vfo", "q1")  # must not raise
+        eng.control("delete_vfo", "q1")  # must not raise
+        with pytest.raises(ValueError):
+            eng.control("delete_vfo", "q1")  # now effectively gone
+        with pytest.raises(ValueError):
+            eng.control("add_vfo", {"name": "vfo0", "offset": 0.0})
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 2), eng.error
+        assert set(eng.vfos) == {"vfo0"}
+    finally:
+        eng.stop()

@@ -38,8 +38,8 @@ def test_lrpt_full_chain_recovers_payload():
 
     demod = MeteorDemod(costas_bandwidth=0.01, agc_rate=0.01)
     st, (rx_syms, valid) = jax.jit(demod)(demod.init_state(), jnp.asarray(iq))
-    nv = int(np.asarray(valid).sum())
-    rx = np.asarray(rx_syms)[:nv]
+    keep = np.asarray(valid).astype(bool)  # mask, not prefix
+    rx = np.asarray(rx_syms)[keep]
 
     # The Costas locks with a 90-degree ambiguity and the timing loop emits
     # ~10 acquisition-transient symbols; search rotations x symbol starts at

@@ -83,8 +83,8 @@ def test_gfsk_mod_end_to_end_bits():
                   omega_gain=0.001, mu_gain=0.01)
     st = d.init_state()
     st, (syms, valid) = jax.jit(d)(st, iq)
-    nv = int(np.asarray(valid).sum())
-    got = np.sign(np.asarray(syms)[:nv])
+    keep = np.asarray(valid).astype(bool)  # mask, not prefix
+    got = np.sign(np.asarray(syms)[keep])
     # find the alignment by correlation, then compare the settled middle
     tx = np.sign(bits)
     c = np.correlate(got.astype(np.float32), tx[200:400].astype(np.float32))

@@ -67,6 +67,13 @@ class ReceiverEngine:
                  fft_rate: float = 20.0, base_block: int = 262144,
                  waterfall_width: int = 1024, waterfall_height: int = 512,
                  realtime: bool = True):
+        # long-running interactive surface: persist compiled executables
+        # so mode cycling converges to cache hits instead of paying a
+        # full XLA compile per revisited config (tens of seconds on a
+        # remote-TPU link); no-op if SDRPP_TPU_NO_CACHE=1
+        from ..utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.source = source
         self.samplerate = float(source.samplerate)
         self.audio_rate = float(audio_rate)
@@ -194,11 +201,16 @@ class ReceiverEngine:
                 audio[name] = out
             return (fe, new_cs), (audio, fft)
 
-        # offsets live in STATE (dynamic VFOs), so they don't participate
-        # in the "did this channel's graph change" comparison — a carried
-        # state at a different offset is still the right state
+        # offsets and squelch LEVELS live in STATE (dynamic VFOs /
+        # runtime setLevel), so they don't participate in the "did this
+        # channel's graph change" comparison — a carried state at a
+        # different offset/threshold is still the right state; only
+        # squelch PRESENCE (None vs number) is structural
         def _graph_cfg(c):
-            return {k: v for k, v in c.items() if k != "offset"}
+            d = {k: v for k, v in c.items() if k not in ("offset",
+                                                         "squelch")}
+            d["has_squelch"] = c.get("squelch") is not None
+            return d
 
         old_cfgs = getattr(self, "_built_cfgs", {})
         old_state = getattr(self, "_state", None)
@@ -388,6 +400,7 @@ class ReceiverEngine:
             # it re-traces jit, and by then the dicts are consistent and
             # this engine thread is the sole writer.
             retunes: dict[str, float] = {}
+            squelch_sets: dict[str, float] = {}
             rebuild = False
             for action, value in pending:
                 cfg = self.vfos[self.selected]
@@ -398,6 +411,15 @@ class ReceiverEngine:
                     # click-to-tune must not pay a re-jit (seconds over a
                     # remote-TPU link)
                     retunes[self.selected] = cfg["offset"]
+                    continue
+                if action == "set_squelch" and value is not None and \
+                        self._built_cfgs.get(self.selected,
+                                             {}).get("squelch") is not None:
+                    # squelch KNOB: threshold lives in Squelch state
+                    # (reference setLevel, squelch.h:63-66) — a scalar
+                    # write; only None<->number (block on/off) rebuilds
+                    cfg["squelch"] = float(value)
+                    squelch_sets[self.selected] = float(value)
                     continue
                 if action == "select_vfo":
                     if value in self.vfos:
@@ -447,7 +469,7 @@ class ReceiverEngine:
                                       self._effective_bandwidth(self.selected))
         if rebuild:
             self._build()  # mode/bw/add/delete: graph changed
-        if retunes:
+        if retunes or squelch_sets:
             fe, chans = self._state
             chans = dict(chans)
             for name, off in retunes.items():
@@ -455,6 +477,12 @@ class ReceiverEngine:
                     chans[name] = self._channels[name].retune_state(
                         chans[name], off)
                     self._built_cfgs.get(name, {})["offset"] = off
+            for name, lvl in squelch_sets.items():
+                chan = self._channels.get(name)
+                if chan is not None and getattr(chan, "squelch",
+                                                None) is not None:
+                    chans[name] = chan.set_squelch_state(chans[name], lvl)
+                    self._built_cfgs.get(name, {})["squelch"] = lvl
             self._state = (fe, chans)
 
     # ---- data plane ----

@@ -136,6 +136,16 @@ class RadioChannel(Block):
         return dict(state, vfo=self.vfo.retune_state(state["vfo"],
                                                      offset_hz))
 
+    def set_squelch_state(self, state, level_db: float):
+        """New state with the squelch threshold changed — a scalar write,
+        like the reference's runtime setLevel (squelch.h:63-66). Only
+        valid when the channel was built with a squelch block; toggling
+        squelch on/off remains a graph change."""
+        if self.squelch is None:
+            raise ValueError("channel has no squelch block")
+        return dict(state, squelch=self.squelch.set_level_state(
+            state["squelch"], level_db))
+
     def init_state(self):
         return {
             "vfo": self.vfo.init_state(),

@@ -396,25 +396,36 @@ class Squelch(Block):
         return {
             "mute": jnp.zeros(self.lead_shape, jnp.bool_),
             "cnt": jnp.zeros(self.lead_shape, jnp.int32),
+            # threshold lives in STATE (like the reference's runtime
+            # setLevel, squelch.h:63-66): a UI squelch-knob change is a
+            # scalar state write, not a re-trace — on a remote-TPU link a
+            # re-jit costs tens of seconds
+            "level": jnp.full((), self.level, jnp.float32),
         }
+
+    def set_level_state(self, state, level_db: float):
+        """New state with the threshold changed — a write, not a rebuild."""
+        return dict(state, level=jnp.full((), np.float32(level_db),
+                                          jnp.float32))
 
     def __call__(self, state, x):
         n = x.shape[-1]
         sb = self.sub_blocks
         assert n % sb == 0
+        thresh = state.get("level", self.level)  # old states: constant
         frames = x.reshape(*x.shape[:-1], sb, n // sb)
         mean_amp = jnp.mean(jnp.abs(frames), axis=-1)  # [..., sb]
         level = 20.0 * jnp.log10(jnp.maximum(mean_amp, 1e-20))
 
         def step(carry, lv):
             mute, cnt = carry
-            below = lv < self.level
+            below = lv < thresh
             # Muted branch (squelch.h:40-47)
             cnt_m = jnp.where(below | (cnt <= 0), 10, cnt - 1)
             unmute = (~below) & (cnt > 0) & (cnt_m == 0)
             mute_m = jnp.where(unmute, False, True)
             # Unmuted branch: hysteresis 1 dB (squelch.h:48-53)
-            mute_u = lv < (self.level - 1.0)
+            mute_u = lv < (thresh - 1.0)
             cnt_u = jnp.where(mute_u, 0, cnt)
             new_mute = jnp.where(mute, mute_m, mute_u)
             new_cnt = jnp.where(mute, cnt_m, cnt_u)
@@ -428,7 +439,9 @@ class Squelch(Block):
         # samples and atan2(+0, -0) = pi in a downstream FM discriminator.
         zero = jnp.zeros((), frames.dtype)
         y = jnp.where(mutes[..., :, None], zero, frames).reshape(x.shape)
-        return {"mute": mute_f, "cnt": cnt_f}, y
+        return {"mute": mute_f, "cnt": cnt_f,
+                "level": state.get("level", jnp.full((), self.level,
+                                                     jnp.float32))}, y
 
 
 class CarrierTrackingPLL(PLL):

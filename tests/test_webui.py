@@ -692,3 +692,27 @@ def test_queued_add_then_delete_validates_in_request_order():
         assert set(eng.vfos) == {"vfo0"}
     finally:
         eng.stop()
+
+
+def test_set_squelch_is_a_state_write_not_a_rebuild():
+    """Changing the squelch THRESHOLD mirrors the reference's runtime
+    setLevel (squelch.h:63-66): a scalar state write between blocks, no
+    re-jit (tens of seconds on a remote-TPU link). Only None<->number
+    (adding/removing the block) rebuilds."""
+    eng = _engine(squelch=-70.0)
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 1), eng.error
+        step_before = eng._step
+        eng.control("set_squelch", -55.0)
+        b0 = eng.blocks
+        assert _wait(lambda: eng.blocks >= b0 + 2), eng.error
+        assert eng.vfos["vfo0"]["squelch"] == -55.0
+        assert eng._step is step_before  # no rebuild
+        lvl = float(np.asarray(eng._state[1]["vfo0"]["squelch"]["level"]))
+        assert lvl == -55.0
+        # removing the squelch block IS structural: rebuild expected
+        eng.control("set_squelch", None)
+        assert _wait(lambda: eng._step is not step_before), eng.error
+    finally:
+        eng.stop()

@@ -91,7 +91,11 @@ def main():
         elif roll == 1:
             post("set_offset", float(rng.uniform(-half * 0.8, half * 0.8)))
         elif roll == 2:
-            post("set_bandwidth", float(rng.uniform(8000.0, 150000.0)))
+            # preset bandwidths (like a real UI's list): revisited
+            # configs hit the persistent compile cache instead of paying
+            # a fresh XLA compile per arbitrary float
+            post("set_bandwidth", float(rng.choice(
+                [8000.0, 12500.0, 25000.0, 50000.0, 100000.0, 150000.0])))
         elif roll == 3:
             post("set_squelch", float(rng.uniform(-90.0, -30.0))
                  if rng.random() < 0.7 else None)

@@ -246,6 +246,11 @@ class ReceiverEngine:
         self._state = (fe_state, chan_states)
         self._built_cfgs = cfgs
         self._pending_good = {k: dict(v) for k, v in cfgs.items()}
+        # the reference logs each demod-switch latency
+        # (radio_module.h:322-336); ours = host graph build here + the
+        # XLA compile paid at the first step (logged there)
+        self._build_t0 = time.monotonic()
+        self._compile_pending = True
 
     def attach_bookmarks(self, config_path=None):
         """Enable the frequency manager (misc_modules/frequency_manager):
@@ -501,6 +506,12 @@ class ReceiverEngine:
                     break
                 self._state, (audio, fft) = self._step(
                     self._state, split_iq(iq))
+                if self._compile_pending:
+                    self._compile_pending = False
+                    log.info(
+                        "set-mode/rebuild ready in %.2f s (modes=%s)",
+                        time.monotonic() - self._build_t0,
+                        [c["mode"] for c in self._built_cfgs.values()])
                 outs = {}
                 for name, a in audio.items():
                     if name in self._digital:

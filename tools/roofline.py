@@ -32,8 +32,8 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 HBM_GBPS = {
-    "v5e": 819.0, "v5litepod": 819.0, "v5p": 2765.0, "v4": 1228.0,
-    "v6e": 1640.0, "v6": 1640.0, "cpu": 50.0,
+    "v5e": 819.0, "v5litepod": 819.0, "v5 lite": 819.0, "v5p": 2765.0,
+    "v4": 1228.0, "v6e": 1640.0, "v6": 1640.0, "cpu": 50.0,
 }
 
 

@@ -120,6 +120,11 @@ class ReceiverEngine:
         # the config a fresh _build ran under; one clean step promotes it
         self._last_good_vfos: dict | None = None
         self._pending_good: dict | None = None
+        # background builder (non-blocking reconfig): the engine streams
+        # the old graph while a new one compiles
+        self._builder: threading.Thread | None = None
+        self._want_cfgs: dict | None = None
+        self._ready_plan: dict | None = None
         self._build()
 
     # ---- chain construction ----
@@ -139,26 +144,30 @@ class ReceiverEngine:
         d = DEMOD_DEFAULTS[cfg["mode"]]
         return float(d["bandwidth"] or d["if_rate"] or self.audio_rate)
 
-    def _build(self):
-        """(Re)build the jitted frontend+channels step for current cfgs.
+    @staticmethod
+    def _graph_cfg(c):
+        # offsets and squelch LEVELS live in STATE (dynamic VFOs /
+        # runtime setLevel), so they don't participate in the "did this
+        # channel's graph change" comparison — a carried state at a
+        # different offset/threshold is still the right state; only
+        # squelch PRESENCE (None vs number) is structural
+        d = {k: v for k, v in c.items() if k not in ("offset", "squelch")}
+        d["has_squelch"] = c.get("squelch") is not None
+        return d
 
-        Channels whose config did NOT change keep their carried DSP state
-        (PLL/AGC/filter tails) — retuning one VFO must not pop or re-lock
-        the others (the reference restarts only the touched module under
-        tempStop/tempStart)."""
+    def _plan(self, cfgs):
+        """Host-side graph construction for ``cfgs``: channels, block
+        size, frontend, and the (lazily-compiled) jitted step. No device
+        work happens here."""
         import math
 
         import jax
         import jax.numpy as jnp
 
+        from ..models.lrpt import MeteorChannel
         from ..models.radio import RadioChannel
         from ..signal_path import IQFrontEnd
-        from ..utils.iq import device_state
 
-        from ..models.lrpt import MeteorChannel
-
-        with self.lock:
-            cfgs = {name: dict(cfg) for name, cfg in self.vfos.items()}
         channels = {}
         for name, cfg in cfgs.items():
             if cfg["mode"] in DIGITAL_MODES:
@@ -172,15 +181,12 @@ class ReceiverEngine:
                     squelch_level=cfg["squelch"],
                     deemphasis=cfg["deemphasis"], rds=bool(cfg.get("rds")),
                     dynamic_offset=True)
-        self._digital = {name for name, cfg in cfgs.items()
-                         if cfg["mode"] in DIGITAL_MODES}
         bm = 1
         for chan in channels.values():
             bm = math.lcm(bm, int(chan.block_multiple))
         block = max(bm, (self.base_block // bm) * bm)
         frontend = IQFrontEnd(self.samplerate, fft_size=self.fft_size,
                               fft_rate=self.fft_rate, block_size=block)
-
         digital = {name for name, cfg in cfgs.items()
                    if cfg["mode"] in DIGITAL_MODES}
 
@@ -201,56 +207,159 @@ class ReceiverEngine:
                 audio[name] = out
             return (fe, new_cs), (audio, fft)
 
-        # offsets and squelch LEVELS live in STATE (dynamic VFOs /
-        # runtime setLevel), so they don't participate in the "did this
-        # channel's graph change" comparison — a carried state at a
-        # different offset/threshold is still the right state; only
-        # squelch PRESENCE (None vs number) is structural
-        def _graph_cfg(c):
-            d = {k: v for k, v in c.items() if k not in ("offset",
-                                                         "squelch")}
-            d["has_squelch"] = c.get("squelch") is not None
-            return d
+        return {"cfgs": {k: dict(v) for k, v in cfgs.items()},
+                "channels": channels, "block": block,
+                "frontend": frontend, "digital": digital,
+                "step": jax.jit(step), "t0": time.monotonic()}
 
+    def _adopt(self, plan):
+        """Switch the engine onto a planned graph. Channels whose config
+        did NOT change keep their carried DSP state (PLL/AGC/filter
+        tails) — retuning one VFO must not pop or re-lock the others
+        (the reference restarts only the touched module under
+        tempStop/tempStart). Runs in the engine thread (or before it
+        starts)."""
+        from ..models.rds_chain import RDSReceiver
+        from ..utils.iq import device_state
+
+        cfgs = plan["cfgs"]
+        channels = plan["channels"]
+        block = plan["block"]
         old_cfgs = getattr(self, "_built_cfgs", {})
         old_state = getattr(self, "_state", None)
         same_block = getattr(self, "_block", None) == block
         chan_states = {}
         for name, chan in channels.items():
             if (old_state is not None and name in old_cfgs
-                    and _graph_cfg(old_cfgs[name]) == _graph_cfg(cfgs[name])):
+                    and name in old_state[1]
+                    and self._graph_cfg(old_cfgs[name])
+                    == self._graph_cfg(cfgs[name])):
                 chan_states[name] = old_state[1][name]
             else:
                 chan_states[name] = device_state(chan.init_state)
         fe_state = (old_state[0] if old_state is not None and same_block
-                    else device_state(frontend.init_state))
+                    else device_state(plan["frontend"].init_state))
 
         # RDS group decoders: keep a locked receiver when its channel's
         # cfg is unchanged; (re)create when rds turns on / cfg changes
-        from ..models.rds_chain import RDSReceiver
-
         new_rds = {}
         for name, chan in channels.items():
             if not chan.rds:
                 continue
             if (name in self._rds and name in old_cfgs
-                    and _graph_cfg(old_cfgs[name]) == _graph_cfg(cfgs[name])):
+                    and self._graph_cfg(old_cfgs[name])
+                    == self._graph_cfg(cfgs[name])):
                 new_rds[name] = self._rds[name]
             else:
                 new_rds[name] = RDSReceiver()
-        self._rds = new_rds
 
-        self._channels = channels
-        self._block = block
-        self._step = jax.jit(step)
-        self._state = (fe_state, chan_states)
-        self._built_cfgs = cfgs
-        self._pending_good = {k: dict(v) for k, v in cfgs.items()}
+        with self.lock:
+            # controls that landed while the plan compiled (retunes /
+            # squelch knob) are already live in self.vfos — resync the
+            # planned states so the swap doesn't roll them back
+            for name, chan in channels.items():
+                live = self.vfos.get(name)
+                if live is None:
+                    continue
+                if live["offset"] != cfgs[name]["offset"] and \
+                        hasattr(chan, "retune_state"):
+                    chan_states[name] = chan.retune_state(
+                        chan_states[name], live["offset"])
+                    cfgs[name]["offset"] = live["offset"]
+                lvl = live.get("squelch")
+                if lvl is not None and lvl != cfgs[name].get("squelch") \
+                        and getattr(chan, "squelch", None) is not None:
+                    chan_states[name] = chan.set_squelch_state(
+                        chan_states[name], lvl)
+                    cfgs[name]["squelch"] = lvl
+            self._rds = new_rds
+            self._channels = channels
+            self._block = block
+            self._step = plan["step"]
+            self._state = (fe_state, chan_states)
+            self._built_cfgs = cfgs
+            self._digital = plan["digital"]
+            self._pending_good = {k: dict(v) for k, v in cfgs.items()}
         # the reference logs each demod-switch latency
-        # (radio_module.h:322-336); ours = host graph build here + the
-        # XLA compile paid at the first step (logged there)
-        self._build_t0 = time.monotonic()
+        # (radio_module.h:322-336); ours = host graph build + XLA
+        # compile, paid at the first step (logged there) unless the
+        # background builder pre-compiled it
+        self._build_t0 = plan["t0"]
         self._compile_pending = True
+
+    def _build(self):
+        """Synchronous (re)build: plan + adopt. Used at construction and
+        by the failure-recovery ladder; interactive rebuilds go through
+        _request_rebuild so audio keeps flowing during the compile."""
+        with self.lock:
+            cfgs = {name: dict(cfg) for name, cfg in self.vfos.items()}
+        self._adopt(self._plan(cfgs))
+
+    # -- background builder: mode switches must not stall the stream ----
+
+    def _request_rebuild(self):
+        """Queue an asynchronous rebuild for the CURRENT vfo configs.
+        The engine keeps streaming the old graph; a builder thread
+        plans the new one and warm-compiles its step on throwaway
+        state, and the engine swaps at the next block boundary once
+        ready (the reference's DSP loop never blocks on a reconfig —
+        main_window.cpp:258-709)."""
+        with self.lock:
+            self._want_cfgs = {name: dict(cfg)
+                               for name, cfg in self.vfos.items()}
+            if self._builder is None or not self._builder.is_alive():
+                self._builder = threading.Thread(
+                    target=self._builder_run, daemon=True,
+                    name="webui-builder")
+                self._builder.start()
+
+    def _builder_run(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ..utils.iq import device_state
+
+        while True:
+            with self.lock:
+                want = self._want_cfgs
+                self._want_cfgs = None
+            if want is None:
+                return
+            try:
+                plan = self._plan(want)
+            except Exception as e:
+                # the graph cannot even be constructed (bad config):
+                # deliver the failure so the engine runs its revert
+                # policy
+                log.error(f"builder: plan failed: "
+                          f"{type(e).__name__}: {e}")
+                with self.lock:
+                    if self._want_cfgs is None:
+                        self._ready_plan = {
+                            "failed": f"{type(e).__name__}: {e}"}
+                continue
+            try:
+                # warm-compile on throwaway state so the engine's swap
+                # pays ~nothing; the persistent cache makes revisited
+                # configs fast here too. This overlaps device work with
+                # the engine's streaming steps (one process = one tunnel
+                # client; execution serializes on the device).
+                st0 = ((device_state(plan["frontend"].init_state),
+                        {name: device_state(chan.init_state)
+                         for name, chan in plan["channels"].items()}))
+                x0 = jnp.zeros((2, plan["block"]), jnp.float32)
+                out = plan["step"](st0, x0)
+                jax.tree_util.tree_map(lambda a: a.block_until_ready(),
+                                       out)
+            except Exception as e:
+                # compile/tunnel blip: hand the plan over anyway — the
+                # engine's recovery ladder owns step-time failures
+                log.error(f"builder: warm compile failed: "
+                          f"{type(e).__name__}: {e}")
+            with self.lock:
+                if self._want_cfgs is None:
+                    self._ready_plan = plan
+            # if cfgs changed while compiling, loop and re-plan
 
     def attach_bookmarks(self, config_path=None):
         """Enable the frequency manager (misc_modules/frequency_manager):
@@ -473,7 +582,10 @@ class ReceiverEngine:
             self.waterfall.select_vfo(self.vfos[self.selected]["offset"],
                                       self._effective_bandwidth(self.selected))
         if rebuild:
-            self._build()  # mode/bw/add/delete: graph changed
+            # mode/bw/add/delete: graph changed — compile in the
+            # BACKGROUND and keep streaming the old graph until the new
+            # one is ready (swap happens at a block boundary in _run)
+            self._request_rebuild()
         if retunes or squelch_sets:
             fe, chans = self._state
             chans = dict(chans)
@@ -501,6 +613,38 @@ class ReceiverEngine:
         while not self._stop.is_set():
             try:
                 self._apply_controls()
+                with self.lock:
+                    plan, self._ready_plan = self._ready_plan, None
+                if plan is not None and "failed" not in plan:
+                    # staleness guard: a ladder revert or rapid config
+                    # churn may have changed the target since this plan
+                    # compiled — adopt only if it still matches (the
+                    # builder owns delivering the newest want)
+                    with self.lock:
+                        fresh = ({n: self._graph_cfg(c) for n, c in
+                                  plan["cfgs"].items()}
+                                 == {n: self._graph_cfg(c) for n, c in
+                                     self.vfos.items()})
+                    if not fresh:
+                        plan = None
+                if plan is not None:
+                    if "failed" in plan:
+                        # the requested config cannot be built: count it
+                        # and revert to the last-good config (the engine
+                        # itself never ran the bad graph)
+                        self.failures += 1
+                        self.error = plan["failed"]
+                        log.error(f"engine: rebuild failed: {self.error}")
+                        if self._last_good_vfos is not None:
+                            with self.lock:
+                                self.vfos = {k: dict(v) for k, v in
+                                             self._last_good_vfos.items()}
+                                if self.selected not in self.vfos:
+                                    self.selected = next(iter(self.vfos))
+                                self._controls.clear()
+                            self._build()
+                    else:
+                        self._adopt(plan)
                 iq = self.source.read(self._block)
                 if len(iq) < self._block:
                     break
@@ -759,6 +903,12 @@ class ReceiverEngine:
                            and self._thread.is_alive(),
                 "error": self.error,
                 "failures": self.failures,
+                # a reconfig is compiling in the background; the stream
+                # keeps running on the previous graph until it's ready
+                "switching": (self._want_cfgs is not None
+                              or self._ready_plan is not None
+                              or (self._builder is not None
+                                  and self._builder.is_alive())),
             }
 
     # ---- lifecycle ----

@@ -37,6 +37,15 @@ def _wait(pred, timeout=180.0):
     return False
 
 
+def _settle(eng, timeout=180.0):
+    """Wait until no background rebuild is pending/compiling and the
+    engine has adopted it — needed before asserting 'no rebuild
+    happened', since reconfigs now compile asynchronously."""
+    ok = _wait(lambda: not eng.snapshot()["switching"], timeout)
+    b0 = eng.blocks
+    return ok and _wait(lambda: eng.blocks > b0, timeout)
+
+
 @pytest.fixture(scope="module")
 def server():
     eng = _engine()
@@ -467,6 +476,7 @@ def test_set_offset_is_a_state_retune_not_a_rebuild(server):
     jitted step must be REUSED (a re-jit costs seconds over a remote-TPU
     link) and the tone must be recovered at the new offset."""
     _, eng, base = server
+    assert _settle(eng)  # drain any prior test's async rebuild
     _post(base + "/api/control", {"action": "set_offset", "value": 100000.0})
     blocks0 = eng.blocks
     assert _wait(lambda: eng.blocks > blocks0)

@@ -921,8 +921,14 @@ class ReceiverEngine:
 
     def stop(self):
         self._stop.set()
+        with self.lock:
+            self._want_cfgs = None  # builder drains after current plan
         if self._thread is not None:
             self._thread.join(timeout=10.0)
+        if self._builder is not None:
+            # a daemon builder killed mid-compile at interpreter exit can
+            # terminate() inside the tunnel client; give it a moment
+            self._builder.join(timeout=15.0)
         with self._audio_event:
             self._audio_event.notify_all()
 

@@ -130,6 +130,14 @@ def main():
             zoom = float(rng.uniform(0.1, 1.0))
             post("set_view", [0.0, args.samplerate * zoom])
 
+    # the audio-liveness clock starts once the FIRST block lands: the
+    # initial cold compile (up to minutes on an unpopulated cache over
+    # the tunnel) is startup latency, not a stall
+    print("waiting for first block (initial compile)...", flush=True)
+    while state()["blocks"] == 0:
+        time.sleep(1.0)
+    last_audio["t"] = time.time()
+
     t0 = time.time()
     next_report = t0 + 60.0
     while time.time() - t0 < args.seconds:

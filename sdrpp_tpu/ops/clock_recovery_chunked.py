@@ -267,11 +267,21 @@ def mm_symbols_chunked(x, hist, offset0, phase0, freq0, err0, bank,
         # [p, M, J, K]: symbol m's local window rows (static slices)
         vstat = jnp.stack([win[:, g:g + J, :] for g in gstat], axis=1)
 
-        def evaluate(Pm):
+        def evaluate(Pm, coarse=False):
             """Interpolate the M group symbols at positions Pm, compute
             the M&M errors (vectorized with the carried 2-symbol
             history), and integrate the affine recurrence in closed form:
             pos_m = pos + m*freq + og*sum_{j<m}(m-j)e_j + mu*sum_{j<m}e_j.
+
+            ``coarse`` (the PREDICTOR pass): 2-tap linear interpolation
+            at the bank's measured effective delay (3 + ph for the
+            128x8 windowed-sinc bank) instead of the full one-hot phase
+            select + bank matmul — the budget's dominant stage. Pass-1
+            outputs only steer the corrected trajectory through the
+            loop gains (og, mu <= 0.01/symbol), so its few-percent
+            interpolation error moves positions by well under the
+            interpolation jitter; symbol VALUES and the carried error
+            state always come from the full-quality pass.
             """
             o_int = jnp.floor(Pm).astype(jnp.int32)
             rel = o_int - r0
@@ -280,19 +290,26 @@ def mm_symbols_chunked(x, hist, offset0, phase0, freq0, err0, bank,
                 & (rel <= jnp.asarray(gstat + J - T)[:, None])
             rel2 = jnp.clip(rel - jnp.asarray(gstat)[:, None], 0, J - T)
             ph = Pm - jnp.floor(Pm)
-            ph_idx = jnp.clip(jnp.floor(ph * P).astype(jnp.int32), 0, P - 1)
-            taps = jnp.matmul(
-                (ph_idx[..., None] == iota_p).astype(jnp.float32), bank,
-                precision=jax.lax.Precision.HIGHEST)       # [M, K, T]
-
-            # combined interpolation weights over the LOCAL window:
-            # w2[m, j, k] = taps[m, k, j - rel2[m, k]] — T one-hot
-            # shifted accumulations over J rows, no gathers
             sel = (iota_j == rel2[:, None, :]).astype(jnp.float32)
             w2 = jnp.zeros((M, J, K), jnp.float32)
-            for t in range(T):
-                w2 = w2.at[:, t:t + (J - T + 1), :].add(
-                    sel * taps[:, None, :, t])
+            if coarse:
+                span = J - T + 1
+                w2 = w2.at[:, 3:3 + span, :].add(
+                    sel * (1.0 - ph)[:, None, :])
+                w2 = w2.at[:, 4:4 + span, :].add(sel * ph[:, None, :])
+            else:
+                ph_idx = jnp.clip(jnp.floor(ph * P).astype(jnp.int32),
+                                  0, P - 1)
+                taps = jnp.matmul(
+                    (ph_idx[..., None] == iota_p).astype(jnp.float32),
+                    bank,
+                    precision=jax.lax.Precision.HIGHEST)   # [M, K, T]
+                # combined interpolation weights over the LOCAL window:
+                # w2[m, j, k] = taps[m, k, j - rel2[m, k]] — T one-hot
+                # shifted accumulations over J rows, no gathers
+                for t in range(T):
+                    w2 = w2.at[:, t:t + (J - T + 1), :].add(
+                        sel * taps[:, None, :, t])
             y = jnp.einsum("mjk,pmjk->pmk", w2, vstat,
                            precision=jax.lax.Precision.HIGHEST)
             outr = y[0]                                    # [M, K]
@@ -362,7 +379,7 @@ def mm_symbols_chunked(x, hist, offset0, phase0, freq0, err0, bank,
         # where errors are biased and the open-loop prediction goes stale
         # within the group; in lock both passes coincide.
         Pm0 = pos[None, :] + mvec * freq[None, :]          # [M, K]
-        _, _, _, _, _, _, pos_m1, _ = evaluate(Pm0)
+        _, _, _, _, _, _, pos_m1, _ = evaluate(Pm0, coarse=True)
         Pm = jnp.concatenate([pos[None], pos_m1[:-1]], axis=0)
         o_int, ok, outr, outi, c0r, c0i, pos_m, freq_m = evaluate(Pm)
 

@@ -726,3 +726,34 @@ def test_set_squelch_is_a_state_write_not_a_rebuild():
         assert _wait(lambda: eng._step is not step_before), eng.error
     finally:
         eng.stop()
+
+
+def test_adopt_carries_untouched_vfo_state():
+    """Swapping to a new graph (async rebuild) must hand untouched VFOs
+    their carried DSP state unchanged — retuning/rebuilding one VFO must
+    not pop or re-lock the others (the reference restarts only the
+    touched module, dsp/block.h:47-65 tempStop/tempStart)."""
+    eng = _engine()
+    try:
+        eng.control("add_vfo", {"name": "b", "mode": "am",
+                                "offset": -150000.0})
+        eng.start()
+        assert _wait(lambda: "b" in eng._channels and eng.blocks >= 2), \
+            eng.error
+        assert _settle(eng)
+        state_a = eng._state[1]["vfo0"]
+        # change ONLY vfo b's mode; adopt synchronously via plan/adopt
+        with eng.lock:
+            cfgs = {k: dict(v) for k, v in eng.vfos.items()}
+        cfgs["b"]["mode"] = "usb"
+        eng._adopt(eng._plan(cfgs))
+        # vfo0's carried state must be the very same pytree leaves
+        import jax
+        old_leaves = jax.tree_util.tree_leaves(state_a)
+        new_leaves = jax.tree_util.tree_leaves(eng._state[1]["vfo0"])
+        assert len(old_leaves) == len(new_leaves)
+        assert all(a is b for a, b in zip(old_leaves, new_leaves))
+        # ...while vfo b was re-initialized (fresh graph)
+        assert eng._built_cfgs["b"]["mode"] == "usb"
+    finally:
+        eng.stop()

@@ -735,17 +735,20 @@ def test_adopt_carries_untouched_vfo_state():
     touched module, dsp/block.h:47-65 tempStop/tempStart)."""
     eng = _engine()
     try:
-        eng.control("add_vfo", {"name": "b", "mode": "am",
-                                "offset": -150000.0})
-        eng.start()
-        assert _wait(lambda: "b" in eng._channels and eng.blocks >= 2), \
-            eng.error
-        assert _settle(eng)
+        # engine NOT started: drive plan/adopt by hand so no engine
+        # thread races the state-identity comparison
+        with eng.lock:
+            eng.vfos["b"] = dict(mode="am", offset=-150000.0,
+                                 bandwidth=None, squelch=None,
+                                 deemphasis=None, rds=False)
+        eng._build()
         state_a = eng._state[1]["vfo0"]
         # change ONLY vfo b's mode; adopt synchronously via plan/adopt
         with eng.lock:
             cfgs = {k: dict(v) for k, v in eng.vfos.items()}
         cfgs["b"]["mode"] = "usb"
+        with eng.lock:
+            eng.vfos["b"]["mode"] = "usb"
         eng._adopt(eng._plan(cfgs))
         # vfo0's carried state must be the very same pytree leaves
         import jax

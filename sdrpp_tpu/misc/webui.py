@@ -1186,6 +1186,7 @@ button{cursor:pointer} canvas{display:block;width:100%}
  <button id="bmdel" title="delete bookmark">&#x2717;</button>
  <span id="meter">SNR -- dB</span>
  <span id="rdsinfo" style="color:#fc6"></span>
+ <span id="switching" style="color:#fc6"></span>
  <span id="err" style="color:#f66"></span>
 </div>
 <canvas id="spec" height="220"></canvas>
@@ -1211,7 +1212,8 @@ async function getState(){st=await (await fetch('/api/state')).json();
  $('rdsinfo').textContent=rd?('RDS '+[rd.pi?('PI '+rd.pi):null,rd.ps_name,
   rd.callsign,rd.radio_text].filter(Boolean).join(' | ')):'';
  $('scan').textContent=st.scanning?(st.scan_receiving?'⏹ receiving':'⏹ scanning'):'scan';
- $('err').textContent=st.error||'';}
+ $('err').textContent=st.error||'';
+ $('switching').textContent=st.switching?'\u23f3 switching\u2026':'';}
 async function ctl(action,value){await fetch('/api/control',{method:'POST',body:JSON.stringify({action,value})});getState();}
 const spec=$('spec'),wf=$('wf');
 function resize(){spec.width=wf.width=document.body.clientWidth;}

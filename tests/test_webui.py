@@ -760,3 +760,23 @@ def test_adopt_carries_untouched_vfo_state():
         assert eng._built_cfgs["b"]["mode"] == "usb"
     finally:
         eng.stop()
+
+
+def test_rapid_mode_churn_coalesces_to_last():
+    """Rapid successive structural changes coalesce in the background
+    builder: the engine must end up on the LAST requested config with
+    audio flowing (stale plans are discarded, not adopted)."""
+    eng = _engine()
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 1), eng.error
+        for m in ("am", "usb", "wfm", "lsb", "cw"):
+            eng.control("set_mode", m)
+        assert _settle(eng, timeout=240)
+        assert eng.vfos["vfo0"]["mode"] == "cw"
+        assert eng._built_cfgs["vfo0"]["mode"] == "cw"
+        a0 = eng.audio_written("vfo0")
+        assert _wait(lambda: eng.audio_written("vfo0") > a0)
+        assert eng.error is None and eng._thread.is_alive()
+    finally:
+        eng.stop()

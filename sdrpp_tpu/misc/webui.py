@@ -903,12 +903,21 @@ class ReceiverEngine:
                            and self._thread.is_alive(),
                 "error": self.error,
                 "failures": self.failures,
-                # a reconfig is compiling in the background; the stream
-                # keeps running on the previous graph until it's ready
-                "switching": (self._want_cfgs is not None
+                # a reconfig is pending or compiling in the background;
+                # the stream keeps running on the previous graph until
+                # the new one is adopted. True through EVERY stage of
+                # the pipeline: queued controls -> requested cfgs ->
+                # builder compiling -> plan ready -> adopted (running
+                # graph finally matches the requested config).
+                "switching": (bool(self._controls)
+                              or self._want_cfgs is not None
                               or self._ready_plan is not None
                               or (self._builder is not None
-                                  and self._builder.is_alive())),
+                                  and self._builder.is_alive())
+                              or {n: self._graph_cfg(c) for n, c in
+                                  self._built_cfgs.items()}
+                              != {n: self._graph_cfg(c) for n, c in
+                                  self.vfos.items()}),
             }
 
     # ---- lifecycle ----

@@ -59,6 +59,9 @@ def enable_persistent_cache(cache_dir: str | os.PathLike | None = None,
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           float(min_compile_secs))
         jax.config.update("jax_raise_persistent_cache_errors", False)
+        # long-lived services churn configs: cap the cache (LRU) so the
+        # directory cannot grow without bound
+        jax.config.update("jax_compilation_cache_max_size", 4 * 2 ** 30)
         _enabled = str(path)
         return _enabled
     except Exception:

@@ -9,6 +9,7 @@ The reference's entry points are the GUI app and ``sdrpp --server``
 - ``scan``     sweep a band, park on active signals
 - ``decode``   digital decoders: m17 / hrpt / falcon9 / kgsstv / meteor
 - ``serve``    stream quantized baseband over TCP (the server protocol)
+- ``preheat``  precompile the UI mode corpus into the persistent cache
 - ``bench``    the headline throughput benchmark
 
 Usage: python -m sdrpp_tpu <command> [options]
@@ -450,6 +451,81 @@ def cmd_ui(argv):
     serve_ui(engine, args.addr, args.port, config_path=args.config)
 
 
+def cmd_preheat(argv):
+    """Precompile the interactive mode corpus into the persistent
+    compilation cache (utils/compile_cache) so even the FIRST `cli ui`
+    session starts warm. The reference rebuilds a demod chain in
+    microseconds (decoder_modules/radio/src/radio_module.h:322-336);
+    ours is an XLA compile the first time a config is ever seen — this
+    command pays those compiles ahead of time, once per machine."""
+    p = argparse.ArgumentParser(prog="sdrpp_tpu preheat")
+    p.add_argument("--samplerate", type=float, default=1000000.0,
+                   help="source sample rate the UI will run at (the "
+                        "compiled graphs are rate-specific)")
+    p.add_argument("--audio-rate", type=float, default=48000.0)
+    p.add_argument("--fft-size", type=int, default=16384)
+    p.add_argument("--fft-rate", type=float, default=20.0)
+    p.add_argument("--block-size", type=int, default=262144)
+    p.add_argument("--modes", default=None,
+                   help="comma list (default: every UI mode)")
+    p.add_argument("--no-variants", action="store_true",
+                   help="skip the squelch/RDS/multi-VFO variants")
+    p.add_argument("--cpu", action="store_true",
+                   help="preheat the CPU backend's cache (tests; a site "
+                        "customization can override JAX_PLATFORMS from "
+                        "the environment, so the flag forces it through "
+                        "jax.config)")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from .io.sources import TestSource
+    from .misc.webui import ALL_MODES, ReceiverEngine
+
+    modes = (args.modes.split(",") if args.modes else ALL_MODES)
+    for m in modes:
+        if m not in ALL_MODES:
+            p.error(f"unknown mode {m!r} (choose from {ALL_MODES})")
+
+    def _vfo(mode, **kw):
+        d = dict(mode=mode, offset=100000.0, bandwidth=None, squelch=None,
+                 deemphasis=None, rds=False)
+        d.update(kw)
+        return d
+
+    corpus = [(f"mode:{m}", {"vfo0": _vfo(m)}) for m in modes]
+    if not args.no_variants:
+        # the structural variants mode cycling actually visits: squelch
+        # presence is a graph change (webui._graph_cfg), RDS adds the
+        # pilot/decoder tap, and analog+digital multi-VFO is the mixed
+        # topology the live-UI validation drives
+        if "nfm" in modes:
+            corpus.append(("nfm+squelch",
+                           {"vfo0": _vfo("nfm", squelch=-50.0)}))
+        if "wfm" in modes:
+            corpus.append(("wfm+rds", {"vfo0": _vfo("wfm", rds=True)}))
+        if "nfm" in modes and "meteor" in modes:
+            corpus.append(("nfm+meteor",
+                           {"vfo0": _vfo("nfm"),
+                            "vfo1": _vfo("meteor", bandwidth=140000.0)}))
+
+    src = TestSource(args.samplerate, tones=[(100000.0, -20.0)],
+                     noise_dbfs=-90.0)
+    engine = ReceiverEngine(src, mode=modes[0], audio_rate=args.audio_rate,
+                            fft_size=args.fft_size, fft_rate=args.fft_rate,
+                            base_block=args.block_size, realtime=False)
+    total = 0.0
+    for name, cfgs in corpus:
+        block, secs = engine.warm_plan(cfgs)
+        total += secs
+        print(f"preheat {name:<16} block={block:<8} {secs:6.2f} s",
+              flush=True)
+    print(f"preheat done: {len(corpus)} configs in {total:.1f} s")
+
+
 def cmd_scan(argv):
     p = argparse.ArgumentParser(prog="sdrpp_tpu scan")
     _add_source_args(p)
@@ -674,6 +750,7 @@ COMMANDS = {
     "serve": cmd_serve,
     "ui": cmd_ui,
     "scan": cmd_scan,
+    "preheat": cmd_preheat,
     "bench": cmd_bench,
 }
 

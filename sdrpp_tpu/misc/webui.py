@@ -361,6 +361,27 @@ class ReceiverEngine:
                     self._ready_plan = plan
             # if cfgs changed while compiling, loop and re-plan
 
+    def warm_plan(self, cfgs) -> tuple[int, float]:
+        """Plan ``cfgs`` and compile+execute its jitted step once on
+        throwaway state (`cli preheat`'s unit of work): with the
+        persistent compilation cache enabled, this leaves the config's
+        executable on disk so the FIRST interactive session that asks
+        for it starts warm. Returns (block_size, wall_seconds)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..utils.iq import device_state
+
+        t0 = time.monotonic()
+        plan = self._plan(cfgs)
+        st0 = (device_state(plan["frontend"].init_state),
+               {name: device_state(chan.init_state)
+                for name, chan in plan["channels"].items()})
+        x0 = jnp.zeros((2, plan["block"]), jnp.float32)
+        out = plan["step"](st0, x0)
+        jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+        return plan["block"], time.monotonic() - t0
+
     def attach_bookmarks(self, config_path=None):
         """Enable the frequency manager (misc_modules/frequency_manager):
         bookmarks persist to ``config_path`` (session file) or stay

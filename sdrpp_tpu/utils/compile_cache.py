@@ -50,11 +50,25 @@ def enable_persistent_cache(cache_dir: str | os.PathLike | None = None,
         return None
     if _enabled is not None:
         return _enabled
+    env_min = os.environ.get("SDRPP_TPU_CACHE_MIN_SECS")
+    if env_min is not None:  # CPU-backend tests persist fast compiles
+        min_compile_secs = float(env_min)
     try:
         import jax
 
         path = Path(cache_dir) if cache_dir else default_cache_dir()
         path.mkdir(parents=True, exist_ok=True)
+        # Cache-key determinism: Pallas/Mosaic kernel bodies are opaque
+        # custom-call payloads, so the Python TRACEBACK locations they
+        # embed leak into the compilation-cache key — the same graph
+        # built from a different call site (cli preheat vs the UI
+        # engine vs its builder thread) would silently MISS. Dropping
+        # tracebacks from MLIR locations (innermost frame only) makes
+        # lowering byte-identical across call sites and processes;
+        # measured: the full WFM UI step's lowered text becomes
+        # identical across constructions, offsets, and entry points.
+        jax.config.update("jax_include_full_tracebacks_in_locations",
+                          False)
         jax.config.update("jax_compilation_cache_dir", str(path))
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           float(min_compile_secs))

@@ -355,7 +355,10 @@ def test_rds_through_engine(tmp_path):
             rx = eng._rds.get("vfo0")
             return rx is not None and rx.decoder.pi_code == 0x2ABC \
                 and rx.decoder.ps_name == "JAXRADIO"
-        assert _wait(locked, timeout=120.0), (
+        # generous ceiling: under full-suite parallel load the wfm+rds
+        # rebuild alone can take tens of seconds before decode starts
+        # (passes in ~7 s on an idle machine)
+        assert _wait(locked, timeout=300.0), (
             eng.error, {k: v.decoder.groups_decoded
                         for k, v in eng._rds.items()})
     finally:

@@ -433,6 +433,9 @@ def cmd_ui(argv):
     p.add_argument("--block-size", type=int, default=262144)
     p.add_argument("--no-realtime", action="store_true",
                    help="process as fast as possible (file benchmarking)")
+    p.add_argument("--no-bg-preheat", action="store_true",
+                   help="don't warm-compile the other modes' graphs in "
+                        "the background once streaming starts")
     p.add_argument("--config", default=None, metavar="JSON",
                    help="persist the UI session (VFOs/volume/range) to this "
                         "file and restore it on start (ConfigManager role)")
@@ -447,7 +450,8 @@ def cmd_ui(argv):
                             bandwidth=args.bandwidth, squelch=args.squelch,
                             audio_rate=args.audio_rate, fft_size=args.fft_size,
                             fft_rate=args.fft_rate, base_block=args.block_size,
-                            realtime=not args.no_realtime)
+                            realtime=not args.no_realtime,
+                            background_preheat=not args.no_bg_preheat)
     serve_ui(engine, args.addr, args.port, config_path=args.config)
 
 

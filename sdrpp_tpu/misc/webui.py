@@ -66,7 +66,7 @@ class ReceiverEngine:
                  audio_rate: float = 48000.0, fft_size: int = 16384,
                  fft_rate: float = 20.0, base_block: int = 262144,
                  waterfall_width: int = 1024, waterfall_height: int = 512,
-                 realtime: bool = True):
+                 realtime: bool = True, background_preheat: bool = False):
         # long-running interactive surface: persist compiled executables
         # so mode cycling converges to cache hits instead of paying a
         # full XLA compile per revisited config (tens of seconds on a
@@ -125,6 +125,12 @@ class ReceiverEngine:
         self._builder: threading.Thread | None = None
         self._want_cfgs: dict | None = None
         self._ready_plan: dict | None = None
+        # background mode-switch preheat (start() spawns it when
+        # enabled): warm-compiles the graphs a set_mode on the selected
+        # VFO would produce, so the user's first switch is a cache hit
+        self.background_preheat = bool(background_preheat)
+        self._preheater: threading.Thread | None = None
+        self._preheated: set[str] = set()
         self._build()
 
     # ---- chain construction ----
@@ -381,6 +387,48 @@ class ReceiverEngine:
         out = plan["step"](st0, x0)
         jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
         return plan["block"], time.monotonic() - t0
+
+    def _preheater_run(self):
+        """Low-priority warm-compile of the likely NEXT graphs: for each
+        mode, the current VFO set with the selected VFO switched to it —
+        exactly what a `set_mode` control would build. With the
+        persistent cache's deterministic keys, every graph compiled here
+        is the one the builder later loads, so the user's first mode
+        switch costs a cache hit (~1.5-2 s on the chip) instead of a
+        full XLA compile. Runs concurrently with the streaming engine
+        (one process = one tunnel client; proven by the soak runs)."""
+        while not self._stop.is_set():
+            # streaming first: never compete with the initial compile
+            if self.blocks < 1:
+                self._stop.wait(0.5)
+                continue
+            with self.lock:
+                cfgs = {n: dict(c) for n, c in self.vfos.items()}
+                sel = self.selected if self.selected in cfgs else None
+            todo = None
+            if sel is not None:
+                for m in ALL_MODES:
+                    want = {n: dict(c) for n, c in cfgs.items()}
+                    want[sel] = dict(want[sel], mode=m)
+                    if m in DIGITAL_MODES:
+                        want[sel].setdefault("bandwidth", None)
+                    key = json.dumps(
+                        {n: self._graph_cfg(c) for n, c in want.items()},
+                        sort_keys=True)
+                    if key not in self._preheated:
+                        todo = (key, want)
+                        break
+            if todo is None:
+                self._stop.wait(2.0)  # idle: watch for config changes
+                continue
+            key, want = todo
+            try:
+                _, secs = self.warm_plan(want)
+                log.info("preheat: %s ready in %.2f s",
+                         [c["mode"] for c in want.values()], secs)
+            except Exception as e:  # never disturb the session
+                log.warning(f"preheat: {type(e).__name__}: {e}")
+            self._preheated.add(key)
 
     def attach_bookmarks(self, config_path=None):
         """Enable the frequency manager (misc_modules/frequency_manager):
@@ -948,6 +996,11 @@ class ReceiverEngine:
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="webui-engine")
         self._thread.start()
+        if self.background_preheat:
+            self._preheater = threading.Thread(
+                target=self._preheater_run, daemon=True,
+                name="webui-preheater")
+            self._preheater.start()
 
     def stop(self):
         self._stop.set()
@@ -959,6 +1012,8 @@ class ReceiverEngine:
             # a daemon builder killed mid-compile at interpreter exit can
             # terminate() inside the tunnel client; give it a moment
             self._builder.join(timeout=15.0)
+        if self._preheater is not None:
+            self._preheater.join(timeout=15.0)
         with self._audio_event:
             self._audio_event.notify_all()
 

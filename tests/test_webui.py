@@ -783,3 +783,30 @@ def test_rapid_mode_churn_coalesces_to_last():
         assert eng.error is None and eng._thread.is_alive()
     finally:
         eng.stop()
+
+
+def test_background_preheat_warms_next_modes(monkeypatch):
+    """With background_preheat on, the engine warm-compiles the graphs a
+    set_mode on the selected VFO would build, while streaming — so the
+    user's first switch loads a compiled executable. Corpus shrunk to
+    two modes to keep the CPU compile budget small."""
+    from sdrpp_tpu.misc import webui as webui_mod
+
+    monkeypatch.setattr(webui_mod, "ALL_MODES", ["nfm", "am"])
+    eng = _engine(background_preheat=True)
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 1), eng.error
+        # both corpus entries (the current nfm set and the am variant)
+        # must get preheated in the background while blocks advance
+        assert _wait(lambda: len(eng._preheated) >= 2, timeout=300), \
+            eng._preheated
+        b0 = eng.blocks
+        assert _wait(lambda: eng.blocks > b0)
+        eng.control("set_mode", "am")
+        assert _settle(eng, timeout=240)
+        assert eng._built_cfgs["vfo0"]["mode"] == "am"
+        assert eng.error is None and eng.failures == 0
+        assert eng._preheater is not None and eng._preheater.is_alive()
+    finally:
+        eng.stop()

@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--seconds", type=float, default=600.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--samplerate", type=float, default=1000000.0)
+    ap.add_argument("--bg-preheat", action="store_true",
+                    help="run the engine's background mode-switch "
+                         "preheater during the soak (engine + builder + "
+                         "preheater all sharing the device)")
     args = ap.parse_args()
 
     import jax
@@ -48,7 +52,8 @@ def main():
                                              (-250000.0, -40.0)],
                      noise_dbfs=-60.0)
     eng = ReceiverEngine(src, mode="nfm", offset=100000.0, realtime=False,
-                         fft_size=4096, base_block=262144)
+                         fft_size=4096, base_block=262144,
+                         background_preheat=args.bg_preheat)
     srv = WebUIServer(eng, port=0)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     eng.start()

@@ -250,6 +250,25 @@ def live_ui_session():
         check("UI-back-to-analog", ok and st["running"]
               and st["mode"] == "nfm",
               f"mode={st['mode']} audio resumed, failures={st['failures']}")
+
+        # background mode-switch preheat: spin the preheater up on the
+        # LIVE session and require it to cover every mode variant while
+        # blocks keep advancing (engine + preheater share the device)
+        eng.background_preheat = True
+        import threading as _th
+
+        from sdrpp_tpu.misc.webui import ALL_MODES
+        eng._preheater = _th.Thread(target=eng._preheater_run,
+                                    daemon=True, name="webui-preheater")
+        eng._preheater.start()
+        b0 = eng.blocks
+        ok = wait(lambda: len(eng._preheated) >= len(ALL_MODES),
+                  timeout=600.0)
+        st, _ = get("/api/state")
+        check("UI-bg-preheat",
+              ok and eng.blocks > b0 and st["running"],
+              f"preheated={len(eng._preheated)}/{len(ALL_MODES)} "
+              f"blocks {b0}->{eng.blocks} failures={st['failures']}")
     finally:
         eng.stop()
         srv.shutdown()

@@ -123,6 +123,7 @@ class ReceiverEngine:
         # background builder (non-blocking reconfig): the engine streams
         # the old graph while a new one compiles
         self._builder: threading.Thread | None = None
+        self._builder_active = False  # owned by self.lock
         self._want_cfgs: dict | None = None
         self._ready_plan: dict | None = None
         # background mode-switch preheat (start() spawns it when
@@ -313,24 +314,40 @@ class ReceiverEngine:
         with self.lock:
             self._want_cfgs = {name: dict(cfg)
                                for name, cfg in self.vfos.items()}
-            if self._builder is None or not self._builder.is_alive():
+            # NOT is_alive(): a builder that already decided to exit
+            # (read want=None, hasn't died yet) still reports alive and
+            # would orphan this request — _builder_active flips False
+            # under the lock at the moment that decision is made
+            if not self._builder_active:
+                self._builder_active = True
                 self._builder = threading.Thread(
                     target=self._builder_run, daemon=True,
                     name="webui-builder")
                 self._builder.start()
 
     def _builder_run(self):
-        import jax
-        import jax.numpy as jnp
+        try:
+            self._builder_loop()
+        except BaseException:
+            # abnormal death (normal exit clears the flag in-loop):
+            # release builder ownership so the next request can start a
+            # fresh thread instead of queueing forever
+            with self.lock:
+                if self._builder is threading.current_thread():
+                    self._builder_active = False
+            raise
 
-        from ..utils.iq import device_state
-
+    def _builder_loop(self):
         while True:
             with self.lock:
                 want = self._want_cfgs
                 self._want_cfgs = None
-            if want is None:
-                return
+                if want is None:
+                    # exit decision and the active flag flip are one
+                    # atomic step: a request arriving after this point
+                    # sees inactive and starts a fresh builder
+                    self._builder_active = False
+                    return
             try:
                 plan = self._plan(want)
             except Exception as e:
@@ -350,13 +367,7 @@ class ReceiverEngine:
                 # configs fast here too. This overlaps device work with
                 # the engine's streaming steps (one process = one tunnel
                 # client; execution serializes on the device).
-                st0 = ((device_state(plan["frontend"].init_state),
-                        {name: device_state(chan.init_state)
-                         for name, chan in plan["channels"].items()}))
-                x0 = jnp.zeros((2, plan["block"]), jnp.float32)
-                out = plan["step"](st0, x0)
-                jax.tree_util.tree_map(lambda a: a.block_until_ready(),
-                                       out)
+                self._warm_compile(plan)
             except Exception as e:
                 # compile/tunnel blip: hand the plan over anyway — the
                 # engine's recovery ladder owns step-time failures
@@ -367,25 +378,32 @@ class ReceiverEngine:
                     self._ready_plan = plan
             # if cfgs changed while compiling, loop and re-plan
 
-    def warm_plan(self, cfgs) -> tuple[int, float]:
-        """Plan ``cfgs`` and compile+execute its jitted step once on
-        throwaway state (`cli preheat`'s unit of work): with the
-        persistent compilation cache enabled, this leaves the config's
-        executable on disk so the FIRST interactive session that asks
-        for it starts warm. Returns (block_size, wall_seconds)."""
+    @staticmethod
+    def _warm_compile(plan):
+        """Compile + execute a plan's jitted step once on throwaway
+        state (shared by the builder thread, the preheater, and
+        `cli preheat`)."""
         import jax
         import jax.numpy as jnp
 
         from ..utils.iq import device_state
 
-        t0 = time.monotonic()
-        plan = self._plan(cfgs)
         st0 = (device_state(plan["frontend"].init_state),
                {name: device_state(chan.init_state)
                 for name, chan in plan["channels"].items()})
         x0 = jnp.zeros((2, plan["block"]), jnp.float32)
         out = plan["step"](st0, x0)
         jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+
+    def warm_plan(self, cfgs) -> tuple[int, float]:
+        """Plan ``cfgs`` and warm-compile its step (`cli preheat`'s unit
+        of work): with the persistent compilation cache enabled, this
+        leaves the config's executable on disk so the FIRST interactive
+        session that asks for it starts warm.
+        Returns (block_size, wall_seconds)."""
+        t0 = time.monotonic()
+        plan = self._plan(cfgs)
+        self._warm_compile(plan)
         return plan["block"], time.monotonic() - t0
 
     def _preheater_run(self):
@@ -409,9 +427,10 @@ class ReceiverEngine:
             if sel is not None:
                 for m in ALL_MODES:
                     want = {n: dict(c) for n, c in cfgs.items()}
-                    want[sel] = dict(want[sel], mode=m)
-                    if m in DIGITAL_MODES:
-                        want[sel].setdefault("bandwidth", None)
+                    # mirror set_mode exactly (_apply_controls resets
+                    # bandwidth to the mode default) so the preheated
+                    # graph IS the one the switch builds
+                    want[sel] = dict(want[sel], mode=m, bandwidth=None)
                     key = json.dumps(
                         {n: self._graph_cfg(c) for n, c in want.items()},
                         sort_keys=True)
@@ -658,20 +677,43 @@ class ReceiverEngine:
         if retunes or squelch_sets:
             fe, chans = self._state
             chans = dict(chans)
+
+            def _sync(name, key, val):
+                # runtime scalars live in DEVICE state; mirror them into
+                # every host-side cfg snapshot INCLUDING the revert
+                # targets — a ladder revert restores the last good GRAPH
+                # but must not roll the knobs back (the carried state
+                # keeps the current offset/threshold, so a stale revert
+                # cfg would desync the UI from the device)
+                for d in (self._built_cfgs, self._last_good_vfos,
+                          self._pending_good):
+                    if d is not None and name in d:
+                        d[name][key] = val
+
             for name, off in retunes.items():
                 if name in self._channels:
                     chans[name] = self._channels[name].retune_state(
                         chans[name], off)
-                    self._built_cfgs.get(name, {})["offset"] = off
+                    _sync(name, "offset", off)
             for name, lvl in squelch_sets.items():
                 chan = self._channels.get(name)
                 if chan is not None and getattr(chan, "squelch",
                                                 None) is not None:
                     chans[name] = chan.set_squelch_state(chans[name], lvl)
-                    self._built_cfgs.get(name, {})["squelch"] = lvl
+                    _sync(name, "squelch", lvl)
             self._state = (fe, chans)
 
     # ---- data plane ----
+
+    def _revert_vfos(self, cfgs):
+        """Restore ``self.vfos`` to ``cfgs`` (a revert target) and
+        rebuild synchronously. Runs in the engine thread."""
+        with self.lock:
+            self.vfos = {k: dict(v) for k, v in cfgs.items()}
+            if self.selected not in self.vfos:
+                self.selected = next(iter(self.vfos))
+            self._controls.clear()
+        self._build()
 
     def _run(self):
         from ..utils.iq import split_iq
@@ -699,19 +741,18 @@ class ReceiverEngine:
                 if plan is not None:
                     if "failed" in plan:
                         # the requested config cannot be built: count it
-                        # and revert to the last-good config (the engine
-                        # itself never ran the bad graph)
+                        # and revert to the last-good config — falling
+                        # back to the currently-RUNNING config when no
+                        # step has been promoted yet (the engine itself
+                        # never ran the bad graph, so what it streams is
+                        # a valid revert target; without this, an early
+                        # bad control would strand self.vfos on an
+                        # unbuildable config forever)
                         self.failures += 1
                         self.error = plan["failed"]
                         log.error(f"engine: rebuild failed: {self.error}")
-                        if self._last_good_vfos is not None:
-                            with self.lock:
-                                self.vfos = {k: dict(v) for k, v in
-                                             self._last_good_vfos.items()}
-                                if self.selected not in self.vfos:
-                                    self.selected = next(iter(self.vfos))
-                                self._controls.clear()
-                            self._build()
+                        self._revert_vfos(self._last_good_vfos
+                                          or self._built_cfgs)
                     else:
                         self._adopt(plan)
                 iq = self.source.read(self._block)
@@ -750,6 +791,10 @@ class ReceiverEngine:
                         self._rds[name].process(a[1])
                 fft = np.asarray(fft)
                 consecutive = 0
+                # a clean step means the stream is healthy again: clear
+                # the surfaced error (failures stays as the history) so
+                # /api/state doesn't report a survived blip forever
+                self.error = None
                 if self._pending_good is not None:
                     # the rebuilt/reconfigured graph survived a full
                     # step: promote it to last-known-good
@@ -776,14 +821,7 @@ class ReceiverEngine:
                             is not None:
                         log.warning("engine: reverting to last-good VFO "
                                  "config")
-                        with self.lock:
-                            self.vfos = {k: dict(v) for k, v in
-                                         self._last_good_vfos.items()}
-                            if self.selected not in self.vfos:
-                                self.selected = next(iter(self.vfos))
-                            self._controls.clear()
-                        self._pending_good = None
-                        self._build()
+                        self._revert_vfos(self._last_good_vfos)
                 except Exception as e2:  # rebuild itself failed: backoff
                     self.error = f"{type(e2).__name__}: {e2}"
                     log.error(f"engine: rebuild failed: {self.error}")
@@ -1179,7 +1217,9 @@ def load_session(engine: ReceiverEngine, config_path) -> None:
     if isinstance(vfos, dict) and vfos:
         clean = {}
         for name, cfg in vfos.items():
-            if cfg.get("mode") in MODES:
+            # ALL_MODES, not MODES: digital (meteor) VFOs are saved by
+            # save_session and must survive a restart too
+            if cfg.get("mode") in ALL_MODES:
                 clean[name] = dict(
                     mode=cfg["mode"], offset=float(cfg.get("offset", 0.0)),
                     bandwidth=cfg.get("bandwidth"),

@@ -294,9 +294,16 @@ def mm_symbols_chunked(x, hist, offset0, phase0, freq0, err0, bank,
             w2 = jnp.zeros((M, J, K), jnp.float32)
             if coarse:
                 span = J - T + 1
-                w2 = w2.at[:, 3:3 + span, :].add(
+                # the bank's effective group delay: (T-1)//2 + ph rows
+                # into the window (3 + ph for the default 128x8
+                # windowed-sinc bank; derived, not hardcoded, so a
+                # non-default interp_tap_count keeps the predictor
+                # aligned — d+1+span <= J holds for every T >= 2)
+                d = (T - 1) // 2
+                w2 = w2.at[:, d:d + span, :].add(
                     sel * (1.0 - ph)[:, None, :])
-                w2 = w2.at[:, 4:4 + span, :].add(sel * ph[:, None, :])
+                w2 = w2.at[:, d + 1:d + 1 + span, :].add(
+                    sel * ph[:, None, :])
             else:
                 ph_idx = jnp.clip(jnp.floor(ph * P).astype(jnp.int32),
                                   0, P - 1)

@@ -235,3 +235,21 @@ def test_mm_chunked_engages_midsize_block():
     m = min(len(r), len(c))
     assert np.mean(np.sign(r[200:m]) == np.sign(c[200:m])) == 1.0
     assert np.mean(np.abs(r[200:m] - c[200:m])) < 0.12
+
+
+def test_mm_chunked_nondefault_tap_count():
+    """The coarse predictor's 2-tap interpolation rows derive from the
+    bank's (T-1)//2 group delay, not the default-T=8 literals — a
+    non-default interp_tap_count must still track and emit the full
+    symbol count (found by review: rows 3/4 were hardcoded)."""
+    sig, sps = _bpsk_real(1 << 18)
+    kw = dict(omega=sps, omega_gain=0.001, mu_gain=0.01,
+              omega_rel_limit=0.01, complex_input=False,
+              interp_tap_count=6)
+    r, c, _, _ = _run_pair(sig, MMClockRecovery(**kw),
+                           MMClockRecoveryChunked(**kw, warmup=512,
+                                                  interpret=True))
+    assert abs(len(r) - len(c)) <= 1, (len(r), len(c))
+    m = min(len(r), len(c))
+    assert np.mean(np.sign(r[200:m]) == np.sign(c[200:m])) == 1.0
+    assert np.mean(np.abs(r[200:m] - c[200:m])) < 0.05

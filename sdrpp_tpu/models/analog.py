@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..ops import convert, taps
 from ..ops.delay import Delay
-from ..ops.fir import FIR
+from ..ops.fir import FIR, RuntimeFIR
 from ..ops.fm import Quadrature
 from ..ops.mix import FrequencyXlator, hz_to_rads
 from ..ops.resample import RationalResampler
@@ -32,6 +32,16 @@ from ..utils.blocks import Block
 __all__ = ["AMDemod", "SSBDemod", "CWDemod", "NFMDemod", "WFMDemod"]
 
 
+def _budget_lowpass(cutoff: float, trans: float, fs: float,
+                    max_taps: int) -> np.ndarray:
+    """low_pass with the transition floored so the design fits a static
+    tap budget (RuntimeFIR carries [max_taps] taps in state); the cutoff
+    stays exact, only the skirt widens at extreme-narrow settings."""
+    if taps.estimate_tap_count(trans, fs) > max_taps:
+        trans = 3.8 * fs / max_taps
+    return taps.low_pass(cutoff, trans, fs)
+
+
 class AMDemod(Block):
     """AM envelope demodulator (reference: core/src/dsp/demod/am.h:10-172).
 
@@ -43,18 +53,38 @@ class AMDemod(Block):
 
     def __init__(self, bandwidth: float = 12000.0, samplerate: float = 24000.0,
                  agc_mode: str = "audio", agc_attack: float = 50.0,
-                 agc_decay: float = 5.0, dc_rate: float = 100.0, lead_shape=()):
+                 agc_decay: float = 5.0, dc_rate: float = 100.0, lead_shape=(),
+                 dynamic_bandwidth: bool = False, max_taps: int = 2049):
         assert agc_mode in ("off", "carrier", "audio")
         self.agc_mode = agc_mode
         self.samplerate = samplerate
+        self.dynamic_bandwidth = bool(dynamic_bandwidth)
+        self.max_taps = int(max_taps)
         ls = lead_shape
         self.carrier_agc = AGC(1.0, agc_attack / samplerate, agc_decay / samplerate,
                                10e6, 10.0, float("inf"), lead_shape=ls)
         self.audio_agc = AGC(1.0, agc_attack / samplerate, agc_decay / samplerate,
                              10e6, 10.0, float("inf"), lead_shape=ls)
         self.dc_block = DCBlocker(dc_rate / samplerate, dtype=jnp.float32, lead_shape=ls)
-        lpf_taps = taps.low_pass(bandwidth / 2.0, (bandwidth / 2.0) * 0.1, samplerate)
-        self.lpf = FIR(lpf_taps, dtype=jnp.float32, lead_shape=ls)
+        if dynamic_bandwidth:
+            self.lpf = RuntimeFIR(self.max_taps, self._lpf_taps(bandwidth),
+                                  dtype=jnp.float32, lead_shape=ls)
+        else:
+            lpf_taps = taps.low_pass(bandwidth / 2.0, (bandwidth / 2.0) * 0.1,
+                                     samplerate)
+            self.lpf = FIR(lpf_taps, dtype=jnp.float32, lead_shape=ls)
+
+    def _lpf_taps(self, bandwidth: float) -> np.ndarray:
+        fw = float(bandwidth) / 2.0
+        return _budget_lowpass(fw, fw * 0.1, self.samplerate, self.max_taps)
+
+    def set_bandwidth_state(self, state, bandwidth: float):
+        """Runtime bandwidth (dynamic_bandwidth only): retarget the audio
+        low-pass via a tap state write — reference am.h setBandwidth."""
+        assert self.dynamic_bandwidth
+        lp = dict(state["lpf"])
+        lp["taps"] = self.lpf.taps_state(self._lpf_taps(bandwidth))
+        return dict(state, lpf=lp)
 
     def init_state(self):
         return {
@@ -86,13 +116,41 @@ class SSBDemod(Block):
 
     def __init__(self, mode: str = "usb", bandwidth: float = 2700.0,
                  samplerate: float = 48000.0, agc_enabled: bool = True,
-                 agc_attack: float = 50.0, agc_decay: float = 5.0, lead_shape=()):
+                 agc_attack: float = 50.0, agc_decay: float = 5.0, lead_shape=(),
+                 dynamic_bandwidth: bool = False):
         assert mode in ("usb", "lsb", "dsb")
-        translation = {"usb": bandwidth / 2.0, "lsb": -bandwidth / 2.0, "dsb": 0.0}[mode]
-        self.xlator = FrequencyXlator(translation, samplerate, lead_shape=lead_shape)
+        self.mode = mode
+        self.dynamic_bandwidth = bool(dynamic_bandwidth)
+        translation = self._translation(bandwidth)
+        if dynamic_bandwidth:
+            # bandwidth changes the sideband translation frequency
+            # (ssb.h setBandwidth); a dynamic xlator makes it a scalar
+            # state write instead of a graph constant
+            from ..ops.mix import DynamicFrequencyXlator
+            self.xlator = DynamicFrequencyXlator(translation, samplerate,
+                                                 lead_shape=lead_shape)
+        else:
+            self.xlator = FrequencyXlator(translation, samplerate,
+                                          lead_shape=lead_shape)
         self.agc = AGC(1.0, agc_attack / samplerate, agc_decay / samplerate,
                        10e6, 10.0, float("inf"), enabled=agc_enabled,
                        lead_shape=lead_shape)
+
+    def _translation(self, bandwidth: float) -> float:
+        return {"usb": bandwidth / 2.0, "lsb": -bandwidth / 2.0,
+                "dsb": 0.0}[self.mode]
+
+    def set_bandwidth_state(self, state, bandwidth: float):
+        """Runtime bandwidth (dynamic_bandwidth only): move the sideband
+        translation — a (hi, lo) scalar state write."""
+        assert self.dynamic_bandwidth
+        hi, lo = self.xlator.offset_state(self._translation(bandwidth))
+        xl = dict(state["xlator"])
+        xl["omega_hi"] = jnp.full(self.xlator.lead_shape or (), hi,
+                                  jnp.float32)
+        xl["omega_lo"] = jnp.full(self.xlator.lead_shape or (), lo,
+                                  jnp.float32)
+        return dict(state, xlator=xl)
 
     def init_state(self):
         return {"xlator": self.xlator.init_state(), "agc": self.agc.init_state()}
@@ -137,18 +195,53 @@ class NFMDemod(Block):
     """
 
     def __init__(self, bandwidth: float = 12500.0, samplerate: float = 48000.0,
-                 low_pass: bool = True, high_pass: bool = False, lead_shape=()):
-        self.demod = Quadrature(bandwidth / 2.0, samplerate, lead_shape=lead_shape)
-        if low_pass and high_pass:
-            t = taps.band_pass(300.0, bandwidth / 2.0, 100.0, samplerate,
-                               complex_taps=False)
-        elif high_pass:
-            t = taps.high_pass(300.0, 100.0, samplerate)
-        elif low_pass:
-            t = taps.low_pass(bandwidth / 2.0, (bandwidth / 2.0) * 0.1, samplerate)
+                 low_pass: bool = True, high_pass: bool = False, lead_shape=(),
+                 dynamic_bandwidth: bool = False, max_taps: int = 2049):
+        self.samplerate = samplerate
+        self.low_pass_on = bool(low_pass)
+        self.high_pass_on = bool(high_pass)
+        self.dynamic_bandwidth = bool(dynamic_bandwidth)
+        self.max_taps = int(max_taps)
+        self.demod = Quadrature(bandwidth / 2.0, samplerate,
+                                lead_shape=lead_shape,
+                                dynamic_deviation=dynamic_bandwidth)
+        t = self._audio_taps(bandwidth)
+        if t is None:
+            self.fir = None
+        elif dynamic_bandwidth:
+            self.fir = RuntimeFIR(self.max_taps, t, dtype=jnp.float32,
+                                  lead_shape=lead_shape)
         else:
-            t = None
-        self.fir = FIR(t, dtype=jnp.float32, lead_shape=lead_shape) if t is not None else None
+            self.fir = FIR(t, dtype=jnp.float32, lead_shape=lead_shape)
+
+    def _audio_taps(self, bandwidth: float):
+        if self.low_pass_on and self.high_pass_on:
+            return taps.band_pass(300.0, bandwidth / 2.0, 100.0,
+                                  self.samplerate, complex_taps=False)
+        if self.high_pass_on:
+            return taps.high_pass(300.0, 100.0, self.samplerate)
+        if self.low_pass_on:
+            fw = bandwidth / 2.0
+            return _budget_lowpass(fw, fw * 0.1, self.samplerate,
+                                   self.max_taps) \
+                if self.dynamic_bandwidth else \
+                taps.low_pass(fw, fw * 0.1, self.samplerate)
+        return None
+
+    def set_bandwidth_state(self, state, bandwidth: float):
+        """Runtime bandwidth (dynamic_bandwidth only): deviation scalar +
+        audio-filter tap writes — the reference's setBandwidth
+        (fm.h setDeviation + filter retap) with zero re-jit."""
+        assert self.dynamic_bandwidth
+        dm = dict(state["demod"])
+        dm["inv_dev"] = self.demod.inv_dev_state(float(bandwidth) / 2.0)
+        st = dict(state, demod=dm)
+        if self.fir is not None and self.low_pass_on:
+            # high-pass-only taps don't depend on bandwidth
+            f = dict(state["fir"])
+            f["taps"] = self.fir.taps_state(self._audio_taps(bandwidth))
+            st["fir"] = f
+        return st
 
     def init_state(self):
         return {
@@ -182,14 +275,16 @@ class WFMDemod(Block):
 
     def __init__(self, deviation: float = 100000.0, samplerate: float = 240000.0,
                  stereo: bool = True, low_pass: bool = True, rds_out: bool = False,
-                 lead_shape=()):
+                 lead_shape=(), dynamic_bandwidth: bool = False):
         ls = lead_shape
         self.samplerate = samplerate
         self.stereo = stereo
         self.low_pass = low_pass
         self.rds_out = rds_out
+        self.dynamic_bandwidth = bool(dynamic_bandwidth)
 
-        self.demod = Quadrature(deviation, samplerate, lead_shape=ls)
+        self.demod = Quadrature(deviation, samplerate, lead_shape=ls,
+                                dynamic_deviation=dynamic_bandwidth)
         self.pilot_taps = taps.band_pass(18750.0, 19250.0, 3000.0, samplerate,
                                          complex_taps=True, odd_tap_count=True)
         self.pilot_fir = FIR(self.pilot_taps, dtype=jnp.complex64, lead_shape=ls)
@@ -234,6 +329,15 @@ class WFMDemod(Block):
             st["rds_xlator"] = self.rds_xlator.init_state()
             st["rds_resamp"] = self.rds_resamp.init_state()
         return st
+
+    def set_bandwidth_state(self, state, bandwidth: float):
+        """Runtime bandwidth (dynamic_bandwidth only): deviation = bw/2
+        (the radio wrapper passes bandwidth/2, wfm.h) — one scalar write;
+        pilot/audio filters are bandwidth-independent in the reference."""
+        assert self.dynamic_bandwidth
+        dm = dict(state["demod"])
+        dm["inv_dev"] = self.demod.inv_dev_state(float(bandwidth) / 2.0)
+        return dict(state, demod=dm)
 
     def __call__(self, state, x):
         st = dict(state)

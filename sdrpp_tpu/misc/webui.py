@@ -886,12 +886,27 @@ class ReceiverEngine:
                     break
                 try:
                     if consecutive == 2:
-                        log.warning("engine: re-tracing the step graph")
+                        # Drop the carried device state BEFORE the
+                        # re-trace: with an unchanged graph config,
+                        # _adopt would faithfully carry a POISONED state
+                        # pytree into the new graph and the failure
+                        # loops forever — found by the r5 on-hardware
+                        # ladder drill (validate_on_tpu
+                        # UI-ladder-drill-state-corruption: 71 repeats
+                        # of the same TypeError before this fix). Fresh
+                        # init states lose nothing: runtime knobs
+                        # (offset/squelch/bandwidth) live in self.vfos
+                        # and are re-applied by the channel
+                        # constructors/resync in _adopt.
+                        log.warning("engine: re-tracing the step graph "
+                                    "(fresh state)")
+                        self._state = None
                         self._build()
                     elif consecutive == 3 and self._last_good_vfos \
                             is not None:
                         log.warning("engine: reverting to last-good VFO "
                                  "config")
+                        self._state = None
                         self._revert_vfos(self._last_good_vfos)
                 except Exception as e2:  # rebuild itself failed: backoff
                     self.error = f"{type(e2).__name__}: {e2}"

@@ -949,6 +949,36 @@ def test_error_clears_after_recovery():
         eng.stop()
 
 
+def test_ladder_recovers_from_poisoned_device_state():
+    """A corrupted/poisoned carried state pytree must NOT survive the
+    ladder's re-trace: before the r5 fix, an unchanged graph config made
+    _adopt carry the poisoned state into the re-traced graph and the
+    engine failed forever (found by the on-hardware ladder drill,
+    tools/validate_on_tpu.py UI-ladder-drill-state-corruption)."""
+    eng = _engine()
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 2), eng.error
+        f0 = eng.failures
+        with eng.lock:
+            fe_st, ch_st = eng._state
+            bad = dict(ch_st)
+            bad["vfo0"] = ()  # structurally wrong channel state
+            eng._state = (fe_st, bad)
+        assert _wait(lambda: eng.failures > f0, timeout=60)
+        # the re-trace (consecutive==2) must drop the poisoned state and
+        # resume streaming
+        b0 = eng.blocks
+        assert _wait(lambda: eng.blocks >= b0 + 3, timeout=120), eng.error
+        a0 = eng.audio_written("vfo0")
+        assert _wait(lambda: eng.audio_written("vfo0") > a0, timeout=60)
+        assert _wait(lambda: eng.error is None, timeout=60)
+        assert eng._thread.is_alive()
+        assert eng.failures <= f0 + 3  # bounded, not 71
+    finally:
+        eng.stop()
+
+
 def test_rebuild_failure_error_stays_until_next_control(monkeypatch):
     """A failed background rebuild reverts and the engine immediately
     streams clean blocks on the reverted graph — the error must STAY in

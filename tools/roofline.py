@@ -141,22 +141,38 @@ def sweep():
             np.linspace(-2.4e6, 2.4e6, 64), 6144000.0, 48000.0,
             bandwidth=12500.0)
 
+    from sdrpp_tpu.ops import fir as fir_mod
+
     kernels = [
-        # (name, make_block(B) -> (block, n, lead_shape), bytes/sample)
+        # (name, make_block(B) -> (block, n, lead_shape), bytes/sample,
+        #  fir_mode)
         ("spectrum 1M-FFT [wide]",
-         lambda B: (_spec1m_block(SpectrumFFT, Block), B << 20, ()), 12.0),
+         lambda B: (_spec1m_block(SpectrumFFT, Block), B << 20, ()), 12.0,
+         None),
         ("FIR 255t c64 [wide]",
-         lambda B: (FIR(taps255), B << 20, ()), 16.0),
+         lambda B: (FIR(taps255), B << 20, ()), 16.0, None),
         ("FIR 255t c64 [batch]",
-         lambda B: (FIR(taps255, lead_shape=(B,)), 1 << 20, (B,)), 16.0),
+         lambda B: (FIR(taps255, lead_shape=(B,)), 1 << 20, (B,)), 16.0,
+         None),
+        # direct strided-conv form: the 255-tap c64 MAC is ~2 kFLOP/
+        # sample on the MXU — if XLA tiles it, the FFT-implementation
+        # bound above stops being the FIR's bound
+        ("FIR 255t c64 [conv,wide]",
+         lambda B: (FIR(taps255), B << 20, ()), 16.0, "direct"),
+        ("FIR 255t c64 [conv,batch]",
+         lambda B: (FIR(taps255, lead_shape=(B,)), 1 << 20, (B,)), 16.0,
+         "direct"),
         ("channelizer 64ch /128 [wide]",
-         lambda B: (mk_chan(), B << 20, ()), 8.0 + 64 * 8.0 / 128),
+         lambda B: (mk_chan(), B << 20, ()), 8.0 + 64 * 8.0 / 128, None),
         ("channelizer 64ch /128 [batch]",
          lambda B: (_VmapB(mk_chan, B), 1 << 20, (B,)),
-         8.0 + 64 * 8.0 / 128),
+         8.0 + 64 * 8.0 / 128, None),
     ]
     fits = []
-    for name, make, bps in kernels:
+    for name, make, bps, fmode in kernels:
+        saved_mode = fir_mod.FIR_MODE
+        if fmode is not None:
+            fir_mod.FIR_MODE = fmode  # read at trace time
         print(f"\n{name} (bytes/sample {bps:.1f}):")
         print(f"{'B':>3} {'n/dispatch':>11} {'us/dispatch':>12} "
               f"{'Msamp/s':>9} {'GB/s':>8} {'%HBMspec':>9} {'%ceil':>6}")
@@ -183,6 +199,7 @@ def sweep():
               f"per-dispatch overhead {a / 1e3:.2f} ms, asymptotic "
               f"{asym:.1f} Msamp/s = {asym * bps / 1e3:.1f} GB/s "
               f"({100 * asym * bps / 1e3 / ceiling:.1f}% of ceiling)")
+        fir_mod.FIR_MODE = saved_mode
 
     cal2 = calibrate_sync(size=1024 if "--cpu" in sys.argv else 2048,
                           iters=8)

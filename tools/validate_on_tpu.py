@@ -269,6 +269,113 @@ def live_ui_session():
               ok and eng.blocks > b0 and st["running"],
               f"preheated={len(eng._preheated)}/{len(ALL_MODES)} "
               f"blocks {b0}->{eng.blocks} failures={st['failures']}")
+
+        # --- runtime bandwidth (VERDICT r4 #3): ANY value, no rebuild,
+        # measured knob-to-effect latency ---
+        step_before = eng._step
+        t_knob = _t.monotonic()
+        post("set_bandwidth", 17321.0)  # deliberately off every preset
+        ok = wait(lambda: eng.vfos["vfo0"]["bandwidth"] == 17321.0,
+                  timeout=60.0)
+        b_applied = eng.blocks
+        ok = ok and wait(lambda: eng.blocks > b_applied)
+        latency = _t.monotonic() - t_knob
+        st, _ = get("/api/state")
+        check("UI-bandwidth-state-write",
+              ok and eng._step is step_before and st["running"]
+              and st["failures"] == 0,
+              f"bw=17321 applied, no rebuild, knob-to-effect "
+              f"{latency:.2f} s (block boundary), failures="
+              f"{st['failures']}")
+
+        # --- recovery-ladder drill (VERDICT r4 #4): REAL faults on the
+        # live hardware session, no monkeypatching ---
+        # (1) corrupt the DEVICE STATE pytree: the next step raises a
+        # genuine structure error from jit; the ladder must retry ->
+        # re-trace (fresh states) -> stream resumes.
+        f0 = eng.failures
+        with eng.lock:
+            fe_st, ch_st = eng._state
+            bad = dict(ch_st)
+            bad["vfo0"] = ()  # structurally wrong channel state
+            eng._state = (fe_st, bad)
+        ok = wait(lambda: eng.failures > f0, timeout=120.0)
+        b0 = eng.blocks
+        ok = ok and wait(lambda: eng.blocks >= b0 + 3, timeout=300.0)
+        a0 = eng.audio_written("vfo0")
+        ok = ok and wait(lambda: eng.audio_written("vfo0") > a0,
+                         timeout=120.0)
+        ok = ok and wait(lambda: eng.error is None, timeout=120.0)
+        st, _ = get("/api/state")
+        check("UI-ladder-drill-state-corruption",
+              ok and eng._thread.is_alive() and st["running"],
+              f"failures {f0}->{eng.failures}, re-trace recovered, "
+              f"audio resumed, err={st['error']}")
+
+        # (2) corrupted persistent-cache entries on a rebuild: the
+        # builder must degrade to a cold compile (cache errors are
+        # configured non-fatal), not kill the session. The REAL cache
+        # stays intact — the session is repointed at a scratch COPY
+        # whose every entry is garbage, so the wfm lookup is guaranteed
+        # to hit a corrupt entry (cache keys are call-site-independent
+        # since r4, so copied entries keep their identity).
+        import pathlib
+        import shutil
+        import tempfile
+
+        from sdrpp_tpu.utils import compile_cache
+        ncorrupt = 0
+        if compile_cache._enabled:
+            scratch = pathlib.Path(tempfile.mkdtemp(prefix="cachedrill"))
+            for p in pathlib.Path(compile_cache._enabled).iterdir():
+                if p.is_file():
+                    q = scratch / p.name
+                    shutil.copyfile(p, q)
+                    with open(q, "r+b") as fh:
+                        fh.write(b"CORRUPTED GARBAGE HEADER")
+                    ncorrupt += 1
+            import jax as _jx
+            _jx.config.update("jax_compilation_cache_dir", str(scratch))
+        post("set_mode", "wfm")
+        ok = wait(lambda: eng._built_cfgs.get("vfo0", {}).get("mode")
+                  == "wfm", timeout=600.0)
+        b0 = eng.blocks
+        ok = ok and wait(lambda: eng.blocks >= b0 + 2, timeout=120.0)
+        st, _ = get("/api/state")
+        check("UI-ladder-drill-corrupt-cache",
+              ok and st["running"],
+              f"{ncorrupt} cache entries corrupted; wfm rebuild "
+              f"survived (cold-compile fallback), failures="
+              f"{st['failures']}")
+        if compile_cache._enabled:  # restore the real cache
+            import jax as _jx
+            _jx.config.update("jax_compilation_cache_dir",
+                              compile_cache._enabled)
+
+        # (3) the r3 session killer, fired deliberately from a session
+        # thread: a complex64 transfer the tunnel cannot perform. The
+        # engine must keep streaming (per-call failure, or ladder
+        # recovery) — this is the production fault the ladder exists
+        # for, executed on the real backend.
+        import jax as _jax
+        import numpy as _np
+        c64_err = None
+        try:
+            _jax.device_put(
+                _np.zeros(256, _np.complex64)).block_until_ready()
+        except Exception as e:
+            c64_err = type(e).__name__
+        b0 = eng.blocks
+        ok = wait(lambda: eng.blocks >= b0 + 3, timeout=300.0)
+        a0 = eng.audio_written("vfo0")
+        ok = ok and wait(lambda: eng.audio_written("vfo0") > a0,
+                         timeout=120.0)
+        st, _ = get("/api/state")
+        check("UI-ladder-drill-c64-transfer",
+              ok and eng._thread.is_alive() and st["running"],
+              f"hostile c64 device_put ({c64_err or 'no error'}) from a "
+              f"session thread; engine streamed on, failures="
+              f"{st['failures']}")
     finally:
         eng.stop()
         srv.shutdown()

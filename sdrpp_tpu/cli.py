@@ -440,6 +440,40 @@ def cmd_serve(argv):
         srv.close()
 
 
+BACKEND_FATAL_EXIT = 86  # child exit code meaning "restart me"
+
+
+def _supervise(cmd, max_restarts: int = 20, _spawn=None):
+    """Process-level recovery loop (the recovery ladder's rung 4): run
+    ``cmd`` as a child with SDRPP_TPU_SUPERVISED set; when it exits with
+    BACKEND_FATAL_EXIT (the engine detected an unrecoverable backend —
+    on axon, a poisoned client after a failed complex64 transfer, which
+    neither retry/re-trace nor backend re-creation can fix in-process),
+    restart it. Any other exit code propagates. The reference's
+    equivalent resilience is per-thread trap-and-continue
+    (core/src/utils/threading.h:55-61); a remote-TPU client's fault
+    domain is the PROCESS, so that is where the trap goes."""
+    import os
+    import subprocess
+    import time
+
+    env = dict(os.environ, SDRPP_TPU_SUPERVISED="1")
+    spawn = _spawn or (lambda: subprocess.run(cmd, env=env).returncode)
+    restarts = 0
+    while True:
+        rc = spawn()
+        if rc != BACKEND_FATAL_EXIT:
+            return rc
+        restarts += 1
+        if restarts > max_restarts:
+            log.error(f"supervisor: giving up after {restarts - 1} "
+                      "backend-fatal restarts")
+            return 1
+        log.warn(f"supervisor: backend unrecoverable (exit {rc}); "
+                 f"restarting session (attempt {restarts})")
+        time.sleep(min(5.0 * restarts, 60.0))
+
+
 def cmd_ui(argv):
     """Web panadapter: spectrum/waterfall + tuning + audio in a browser
     (the reference GUI's role on a headless TPU host, misc/webui.py)."""
@@ -466,9 +500,22 @@ def cmd_ui(argv):
     p.add_argument("--config", default=None, metavar="JSON",
                    help="persist the UI session (VFOs/volume/range) to this "
                         "file and restore it on start (ConfigManager role)")
+    p.add_argument("--supervise", action="store_true",
+                   help="run the session in a supervised child process "
+                        "and restart it if the backend becomes "
+                        "unrecoverable (on the axon tunnel a failed "
+                        "complex64 transfer poisons the whole process — "
+                        "probed r5: no in-process recovery exists, so "
+                        "the recovery ladder's last rung is a process "
+                        "restart; pair with --config so the session's "
+                        "VFOs survive the respawn)")
     _add_backend_args(p)
     args = p.parse_args(argv)
     _apply_backend(args)
+
+    if args.supervise:
+        child_argv = ["ui"] + [a for a in argv if a != "--supervise"]
+        return _supervise([sys.executable, "-m", "sdrpp_tpu"] + child_argv)
 
     from .misc.webui import ReceiverEngine, serve_ui
 

@@ -24,6 +24,7 @@ volume controls, SNR meter).
 from __future__ import annotations
 
 import json
+import os
 import struct
 import threading
 import time
@@ -115,6 +116,7 @@ class ReceiverEngine:
         self.blocks = 0
         self.samples = 0
         self.error: str | None = None
+        self.fatal = False  # rung-4: backend unrecoverable in-process
         # rebuild-failure errors stay visible until the NEXT control
         # arrives: the engine streams a clean block on the reverted
         # graph immediately, so clearing on clean steps would hide the
@@ -855,6 +857,9 @@ class ReceiverEngine:
                         self._rds[name].process(a[1])
                 fft = np.asarray(fft)
                 consecutive = 0
+                if self.fatal:  # a clean step disproves the diagnosis
+                    self.fatal = False
+                    self._error_sticky = False
                 # a clean step means the stream is healthy again: clear
                 # the surfaced error (failures stays as the history) so
                 # /api/state doesn't report a survived blip forever —
@@ -912,7 +917,34 @@ class ReceiverEngine:
                     self.error = f"{type(e2).__name__}: {e2}"
                     self._error_sticky = True
                     log.error(f"engine: rebuild failed: {self.error}")
-                time.sleep(min(0.5 * consecutive, 5.0))
+                if consecutive >= 5 and not self.fatal:
+                    # Rung 4: the whole ladder (retry, fresh-state
+                    # re-trace, last-good revert, one grace pass) failed
+                    # on the SAME streak — on axon this is the poisoned-
+                    # process signature (a failed complex64 transfer
+                    # breaks every subsequent execution; probed r5:
+                    # neither retry nor jax.extend.backend.clear_backends
+                    # recovers in-process). Stop the 5-second retry spam,
+                    # tell the truth, and hand recovery to the process
+                    # level: under `cli ui --supervise` the supervisor
+                    # restarts us (session restored from --config);
+                    # standalone, the HTTP surface stays alive serving
+                    # state/history with a sticky fatal error.
+                    self.fatal = True
+                    self.error = ("backend unrecoverable after full "
+                                  f"ladder ({self.error}); process "
+                                  "restart required — run `cli ui "
+                                  "--supervise` for automatic recovery")
+                    self._error_sticky = True
+                    log.error(f"engine FATAL: {self.error}")
+                    if os.environ.get("SDRPP_TPU_SUPERVISED"):
+                        log.error("engine: exiting for supervisor "
+                                  "restart (code 86)")
+                        os._exit(86)
+                # interruptible: a fatal engine parked on its 30 s
+                # backoff must still stop() promptly
+                self._stop.wait(30.0 if self.fatal
+                                else min(0.5 * consecutive, 5.0))
                 t_start = time.monotonic() - sent  # resync realtime clock
                 continue
             with self.lock:
@@ -1097,6 +1129,7 @@ class ReceiverEngine:
                            and self._thread.is_alive(),
                 "error": self.error,
                 "failures": self.failures,
+                "fatal": self.fatal,
                 # a reconfig is pending or compiling in the background;
                 # the stream keeps running on the previous graph until
                 # the new one is adopted. True through EVERY stage of

@@ -979,6 +979,63 @@ def test_ladder_recovers_from_poisoned_device_state():
         eng.stop()
 
 
+def test_ladder_rung4_declares_fatal_after_exhaustion(monkeypatch):
+    """When the FULL ladder fails on one streak (retry, fresh-state
+    re-trace, revert, grace), the engine must stop the retry spam and
+    surface a truthful terminal state — on axon this is the
+    poisoned-process signature (r5 probe: no in-process recovery
+    exists). The HTTP surface stays alive; under SDRPP_TPU_SUPERVISED
+    the process would instead exit 86 for the supervisor."""
+    monkeypatch.delenv("SDRPP_TPU_SUPERVISED", raising=False)
+    eng = _engine()
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 2), eng.error
+
+        def boom(*a, **kw):
+            raise RuntimeError("UNIMPLEMENTED: TPU backend error")
+
+        # every execution AND every rebuild fails — the poisoned-client
+        # shape (pre-compiled executables fail too)
+        eng._step = boom
+        monkeypatch.setattr(type(eng), "_plan", boom)
+        assert _wait(lambda: eng.fatal, timeout=120)
+        assert eng.error and "restart required" in eng.error
+        assert eng._thread.is_alive()  # HTTP surface stays serviceable
+        snap = eng.snapshot()
+        assert snap["fatal"] is True and snap["error"] == eng.error
+    finally:
+        eng.stop()
+
+
+def test_supervisor_restarts_on_backend_fatal():
+    """cli's _supervise loop: restart on BACKEND_FATAL_EXIT, propagate
+    any other exit code."""
+    from sdrpp_tpu.cli import BACKEND_FATAL_EXIT, _supervise
+
+    codes = [BACKEND_FATAL_EXIT, BACKEND_FATAL_EXIT, 0]
+    calls = {"n": 0}
+
+    def spawn():
+        rc = codes[calls["n"]]
+        calls["n"] += 1
+        return rc
+
+    import time as _time
+    real_sleep = _time.sleep
+    _time.sleep = lambda s: real_sleep(0)
+    try:
+        assert _supervise(["unused"], _spawn=spawn) == 0
+    finally:
+        _time.sleep = real_sleep
+    assert calls["n"] == 3
+
+    calls["n"] = 0
+    codes[:] = [3]
+    assert _supervise(["unused"], _spawn=spawn) == 3
+    assert calls["n"] == 1
+
+
 def test_rebuild_failure_error_stays_until_next_control(monkeypatch):
     """A failed background rebuild reverts and the engine immediately
     streams clean blocks on the reverted graph — the error must STAY in

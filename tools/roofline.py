@@ -154,11 +154,13 @@ def sweep():
         ("FIR 255t c64 [batch]",
          lambda B: (FIR(taps255, lead_shape=(B,)), 1 << 20, (B,)), 16.0,
          None),
-        # direct strided-conv form: the 255-tap c64 MAC is ~2 kFLOP/
-        # sample on the MXU — if XLA tiles it, the FFT-implementation
-        # bound above stops being the FIR's bound
-        ("FIR 255t c64 [conv,wide]",
-         lambda B: (FIR(taps255), B << 20, ()), 16.0, "direct"),
+        # direct strided-conv form on a BATCH axis: the 255-tap c64 MAC
+        # is ~2 kFLOP/sample on the MXU — if XLA tiles it, the
+        # FFT-implementation bound above stops being the FIR's bound.
+        # (A single-stream [conv,wide] variant was tried and REMOVED:
+        # batch-1 conv at 1M+ samples stalls for tens of minutes on the
+        # tunnel — the r1 "batch-1 conv underutilizes the MXU" finding,
+        # terminally so at these lengths.)
         ("FIR 255t c64 [conv,batch]",
          lambda B: (FIR(taps255, lead_shape=(B,)), 1 << 20, (B,)), 16.0,
          "direct"),

@@ -353,10 +353,14 @@ def live_ui_session():
                               compile_cache._enabled)
 
         # (3) the r3 session killer, fired deliberately from a session
-        # thread: a complex64 transfer the tunnel cannot perform. The
-        # engine must keep streaming (per-call failure, or ladder
-        # recovery) — this is the production fault the ladder exists
-        # for, executed on the real backend.
+        # thread: a complex64 transfer the tunnel cannot perform. On
+        # axon this POISONS the whole process (r5 probe: every later
+        # execution fails UNIMPLEMENTED; neither retry nor
+        # jax.extend.backend.clear_backends recovers), so the complete
+        # ladder semantics are: keep streaming if the failure is
+        # per-call (CPU), otherwise walk the ladder and reach the
+        # truthful rung-4 FATAL state with the HTTP surface still
+        # serviceable — the state `cli ui --supervise` restarts from.
         import jax as _jax
         import numpy as _np
         c64_err = None
@@ -366,16 +370,37 @@ def live_ui_session():
         except Exception as e:
             c64_err = type(e).__name__
         b0 = eng.blocks
-        ok = wait(lambda: eng.blocks >= b0 + 3, timeout=300.0)
-        a0 = eng.audio_written("vfo0")
-        ok = ok and wait(lambda: eng.audio_written("vfo0") > a0,
-                         timeout=120.0)
-        st, _ = get("/api/state")
-        check("UI-ladder-drill-c64-transfer",
-              ok and eng._thread.is_alive() and st["running"],
-              f"hostile c64 device_put ({c64_err or 'no error'}) from a "
-              f"session thread; engine streamed on, failures="
-              f"{st['failures']}")
+        if c64_err is None:
+            # per-call-safe backend (CPU): streaming simply continues
+            ok = wait(lambda: eng.blocks >= b0 + 3, timeout=300.0)
+            a0 = eng.audio_written("vfo0")
+            ok = ok and wait(lambda: eng.audio_written("vfo0") > a0,
+                             timeout=120.0)
+            st, _ = get("/api/state")
+            check("UI-ladder-drill-c64-transfer",
+                  ok and eng._thread.is_alive() and st["running"],
+                  "hostile c64 device_put harmless on this backend; "
+                  f"engine streamed on, failures={st['failures']}")
+        else:
+            # poisoned process: either the engine somehow streams on, or
+            # it must reach rung-4 fatal (no infinite 5 s retry spam)
+            # while /api/state keeps answering
+            ok = wait(lambda: eng.blocks >= b0 + 3 or eng.fatal,
+                      timeout=600.0)
+            st, _ = get("/api/state")
+            streamed = eng.blocks >= b0 + 3 and not eng.fatal
+            truthful_fatal = bool(eng.fatal and st["fatal"]
+                                  and st["error"]
+                                  and "restart required" in st["error"]
+                                  and eng._thread.is_alive())
+            check("UI-ladder-drill-c64-transfer",
+                  ok and (streamed or truthful_fatal),
+                  f"c64 device_put raised {c64_err}; "
+                  + ("engine streamed on"
+                     if streamed else
+                     f"rung-4 fatal reached truthfully (failures="
+                     f"{st['failures']}, HTTP alive) — supervisor "
+                     "restart is the documented recovery"))
     finally:
         eng.stop()
         srv.shutdown()

@@ -154,16 +154,13 @@ def sweep():
         ("FIR 255t c64 [batch]",
          lambda B: (FIR(taps255, lead_shape=(B,)), 1 << 20, (B,)), 16.0,
          None),
-        # direct strided-conv form on a BATCH axis: the 255-tap c64 MAC
-        # is ~2 kFLOP/sample on the MXU — if XLA tiles it, the
-        # FFT-implementation bound above stops being the FIR's bound.
-        # (A single-stream [conv,wide] variant was tried and REMOVED:
-        # batch-1 conv at 1M+ samples stalls for tens of minutes on the
-        # tunnel — the r1 "batch-1 conv underutilizes the MXU" finding,
-        # terminally so at these lengths.)
-        ("FIR 255t c64 [conv,batch]",
-         lambda B: (FIR(taps255, lead_shape=(B,)), 1 << 20, (B,)), 16.0,
-         "direct"),
+        # NOTE: direct strided-conv FIR variants were tried and REMOVED:
+        # at 1M-sample streams the conv lowering stalls for tens of
+        # minutes on the tunnel even with a small batch axis — the r1
+        # "batch-1 conv underutilizes the MXU" finding is terminal at
+        # these lengths (the conv path's sweet spot, many channels x
+        # short blocks, is the channelizer/bank rows' shape and is what
+        # the library auto-selects it for).
         ("channelizer 64ch /128 [wide]",
          lambda B: (mk_chan(), B << 20, ()), 8.0 + 64 * 8.0 / 128, None),
         ("channelizer 64ch /128 [batch]",

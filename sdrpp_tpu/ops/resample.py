@@ -63,6 +63,24 @@ def max_power_decim_ratio() -> int:
     return 8192  # 2^13 (reference: power_decimator.h:31-33)
 
 
+# Pallas path for single-stream high-ratio stages: opt-in only
+# (SDRPP_TPU_DECIM_PALLAS=1). Measured on the chip (r5, three kernel
+# variants: ROWS 1024/4096/8192, arbitrary/parallel semantics): the
+# VMEM-tiled kernel runs 2.0-2.1 Gsamp/s vs the XLA unrolled polyphase's
+# 4.8-5.2 — the [rows, r<=32]-lane layout wastes 3/4 of the VPU and the
+# tpp sublane-shifted slices relayout, so the hand kernel LOSES to
+# XLA's fusion here. Kept as a bit-correct (6e-8 on-chip) measured
+# negative result; see PERFORMANCE.md r5.
+DECIM_PALLAS = os.environ.get("SDRPP_TPU_DECIM_PALLAS", "0")
+
+
+def _decim_stage_use_pallas(x, r: int) -> bool:
+    if DECIM_PALLAS != "1":
+        return False
+    from .fir_pallas import pallas_decim_supported
+    return pallas_decim_supported(x.shape[-1], x.ndim, r)
+
+
 class PowerDecimator(Block):
     """Cascaded half/quarter-band FIR power-of-2 decimator
     (reference: core/src/dsp/multirate/power_decimator.h:8-119).
@@ -85,7 +103,11 @@ class PowerDecimator(Block):
             return state, x
         new_states = []
         for (r, taps), tail in zip(self.stages, state):
-            tail, x = decimating_fir_correlate(tail, x, taps, r)
+            if _decim_stage_use_pallas(x, r):
+                from .fir_pallas import decimating_fir_pallas
+                tail, x = decimating_fir_pallas(tail, x, taps, r)
+            else:
+                tail, x = decimating_fir_correlate(tail, x, taps, r)
             new_states.append(tail)
         return tuple(new_states), x
 

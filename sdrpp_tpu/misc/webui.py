@@ -46,6 +46,12 @@ MODES = ["wfm", "nfm", "am", "usb", "lsb", "dsb", "cw", "raw"]
 # decoder_modules/meteor_demodulator/src/main.cpp:70-77)
 DIGITAL_MODES = ["meteor"]
 ALL_MODES = MODES + DIGITAL_MODES
+
+# Digital-VFO bandwidths snap to this log grid (~1.33x steps, 10k-450k):
+# digital bandwidth keys the GRAPH, so arbitrary floats would each pay
+# an uncacheable XLA compile (analog bandwidth is runtime state and
+# takes any value)
+_DIGITAL_BW_GRID = [10000.0 * 4.0 ** (i / 4.0) for i in range(14)]
 CONSTELLATION_RING = 4096  # symbols kept per digital VFO
 
 
@@ -396,7 +402,13 @@ class ReceiverEngine:
                 # configs fast here too. This overlaps device work with
                 # the engine's streaming steps (one process = one tunnel
                 # client; execution serializes on the device).
+                t0 = time.monotonic()
                 self._warm_compile(plan)
+                dt = time.monotonic() - t0
+                if dt > 5.0:  # cold compiles are the soak-freeze suspect
+                    log.info("builder: compiled %s in %.1f s",
+                             [c["mode"] for c in plan["cfgs"].values()],
+                             dt)
             except Exception as e:
                 # compile/tunnel blip: hand the plan over anyway — the
                 # engine's recovery ladder owns step-time failures
@@ -667,6 +679,16 @@ class ReceiverEngine:
                     continue
                 if action == "set_bandwidth":
                     chan = self._channels.get(self.selected)
+                    if cfg["mode"] in DIGITAL_MODES and value is not None:
+                        # digital bandwidth is still a GRAPH key (the
+                        # demod chain recompiles), so snap to a log grid:
+                        # an arbitrary float would compile a fresh,
+                        # never-again-hit executable per knob twitch —
+                        # measured as minute-long stream stalls under
+                        # continuous-bandwidth soak churn (soak v8d)
+                        value = float(min(
+                            _DIGITAL_BW_GRID,
+                            key=lambda g: abs(g - float(value))))
                     if chan is not None and getattr(chan,
                                                     "dynamic_bandwidth",
                                                     False):

@@ -157,16 +157,22 @@ def main():
             problems.append(f"ENGINE DIED after {actions} actions: "
                             f"{st['error']}")
             break
-        # audio liveness: SOME analog vfo must advance within 60 s
+        # audio liveness: SOME analog vfo must advance within 60 s.
+        # Per-VFO counters, not a sum: deleting a VFO frees its ring, so
+        # a sum can DROP and then spend >60 s regrowing past its old
+        # value while audio flows fine (false stall seen in soak v8c at
+        # a delete-heavy stretch — blocks were advancing throughout).
         analog = [v for v, c in st["vfos"].items()
                   if c["mode"] not in ("meteor",)]
-        total = sum(eng.audio_written(v) for v in analog)
-        if analog and total > last_audio["n"]:
-            last_audio.update(n=total, t=time.time())
+        counts = {v: eng.audio_written(v) for v in analog}
+        prev = last_audio.setdefault("counts", {})
+        if analog and any(counts[v] > prev.get(v, -1) for v in counts):
+            last_audio["t"] = time.time()
         elif analog and time.time() - last_audio["t"] > 60.0:
             problems.append(f"audio stalled >60 s at action {actions} "
                             f"(modes={[c['mode'] for c in st['vfos'].values()]})")
             last_audio["t"] = time.time()
+        last_audio["counts"] = counts
         if time.time() >= next_report:
             next_report += 60.0
             print(f"[{time.time() - t0:6.0f}s] actions={actions} "

@@ -440,7 +440,9 @@ def cmd_serve(argv):
         srv.close()
 
 
-BACKEND_FATAL_EXIT = 86  # child exit code meaning "restart me"
+# child exit code meaning "restart me" — the engine side lives in
+# misc/webui.py; re-exported here for the supervisor and tests
+from .misc.webui import BACKEND_FATAL_EXIT  # noqa: E402
 
 
 def _supervise(cmd, max_restarts: int = 20, _spawn=None):
@@ -514,7 +516,16 @@ def cmd_ui(argv):
     _apply_backend(args)
 
     if args.supervise:
-        child_argv = ["ui"] + [a for a in argv if a != "--supervise"]
+        import os
+        if os.environ.get("SDRPP_TPU_SUPERVISED"):
+            # already a supervised child (e.g. --supervise leaked into
+            # the child argv via an argparse abbreviation): never nest
+            p.error("--supervise inside a supervised child")
+        # strip the flag INCLUDING argparse prefix abbreviations
+        # (--sup, --super, ...) or the child re-supervises forever
+        child_argv = ["ui"] + [
+            a for a in argv
+            if not (a.startswith("--s") and "--supervise".startswith(a))]
         return _supervise([sys.executable, "-m", "sdrpp_tpu"] + child_argv)
 
     from .misc.webui import ReceiverEngine, serve_ui

@@ -47,11 +47,15 @@ MODES = ["wfm", "nfm", "am", "usb", "lsb", "dsb", "cw", "raw"]
 DIGITAL_MODES = ["meteor"]
 ALL_MODES = MODES + DIGITAL_MODES
 
-# Digital-VFO bandwidths snap to this log grid (~1.33x steps, 10k-450k):
-# digital bandwidth keys the GRAPH, so arbitrary floats would each pay
-# an uncacheable XLA compile (analog bandwidth is runtime state and
-# takes any value)
-_DIGITAL_BW_GRID = [10000.0 * 4.0 ** (i / 4.0) for i in range(14)]
+# child exit code meaning "backend unrecoverable in-process, restart me"
+# — shared with the cli supervisor (cli.BACKEND_FATAL_EXIT re-exports)
+BACKEND_FATAL_EXIT = 86
+
+# Digital/raw VFO bandwidths snap to this log grid (sqrt(2) steps,
+# 10 kHz .. ~453 kHz): their bandwidth keys the GRAPH, so arbitrary
+# floats would each pay an uncacheable XLA compile (analog bandwidth is
+# runtime state and takes any value)
+_DIGITAL_BW_GRID = [10000.0 * 2.0 ** (i / 2.0) for i in range(12)]
 CONSTELLATION_RING = 4096  # symbols kept per digital VFO
 
 
@@ -181,9 +185,13 @@ class ReceiverEngine:
         # channel's graph change" comparison — a carried state at a
         # different offset/threshold/bandwidth is still the right state;
         # only squelch PRESENCE (None vs number) is structural. Digital
-        # (meteor) channels still key their graph on bandwidth.
+        # (meteor) channels still key their graph on bandwidth, and so
+        # does RAW: it is built with dynamic_bandwidth OFF (no
+        # bandwidth-dependent stage to retarget), so a raw bandwidth
+        # change is a structural rebuild and must not carry a
+        # shape-mismatched state.
         drop = ("offset", "squelch")
-        if c.get("mode") not in DIGITAL_MODES:
+        if c.get("mode") not in DIGITAL_MODES and c.get("mode") != "raw":
             drop = ("offset", "squelch", "bandwidth")
         d = {k: v for k, v in c.items() if k not in drop}
         d["has_squelch"] = c.get("squelch") is not None
@@ -679,13 +687,14 @@ class ReceiverEngine:
                     continue
                 if action == "set_bandwidth":
                     chan = self._channels.get(self.selected)
-                    if cfg["mode"] in DIGITAL_MODES and value is not None:
-                        # digital bandwidth is still a GRAPH key (the
-                        # demod chain recompiles), so snap to a log grid:
-                        # an arbitrary float would compile a fresh,
-                        # never-again-hit executable per knob twitch —
-                        # measured as minute-long stream stalls under
-                        # continuous-bandwidth soak churn (soak v8d)
+                    if (cfg["mode"] in DIGITAL_MODES
+                            or cfg["mode"] == "raw") and value is not None:
+                        # digital/raw bandwidth is still a GRAPH key
+                        # (those chains recompile), so snap to a log
+                        # grid: an arbitrary float would compile a
+                        # fresh, never-again-hit executable per knob
+                        # twitch — measured as minute-long stream
+                        # stalls under continuous-bandwidth soak churn
                         value = float(min(
                             _DIGITAL_BW_GRID,
                             key=lambda g: abs(g - float(value))))
@@ -906,9 +915,16 @@ class ReceiverEngine:
                 # -> keep retrying with backoff. Never break on failure.
                 consecutive += 1
                 self.failures += 1
-                self.error = f"{type(e).__name__}: {e}"
-                self._error_sticky = False  # step errors clear on recovery
-                log.error(f"engine (failure {consecutive}): {self.error}")
+                if not self.fatal:
+                    # once rung-4 fatal is declared, the advisory error
+                    # (naming --supervise as the recovery) must survive
+                    # subsequent backoff-cycle failures, not be
+                    # overwritten by each raw exception
+                    self.error = f"{type(e).__name__}: {e}"
+                    self._error_sticky = False  # step errors clear on
+                    #                             recovery
+                log.error(f"engine (failure {consecutive}): "
+                          f"{type(e).__name__}: {e}")
                 if self._stop.is_set():
                     break
                 try:
@@ -936,9 +952,11 @@ class ReceiverEngine:
                         self._state = None
                         self._revert_vfos(self._last_good_vfos)
                 except Exception as e2:  # rebuild itself failed: backoff
-                    self.error = f"{type(e2).__name__}: {e2}"
-                    self._error_sticky = True
-                    log.error(f"engine: rebuild failed: {self.error}")
+                    if not self.fatal:
+                        self.error = f"{type(e2).__name__}: {e2}"
+                        self._error_sticky = True
+                    log.error(f"engine: rebuild failed: "
+                              f"{type(e2).__name__}: {e2}")
                 if consecutive >= 5 and not self.fatal:
                     # Rung 4: the whole ladder (retry, fresh-state
                     # re-trace, last-good revert, one grace pass) failed
@@ -961,8 +979,8 @@ class ReceiverEngine:
                     log.error(f"engine FATAL: {self.error}")
                     if os.environ.get("SDRPP_TPU_SUPERVISED"):
                         log.error("engine: exiting for supervisor "
-                                  "restart (code 86)")
-                        os._exit(86)
+                                  f"restart (code {BACKEND_FATAL_EXIT})")
+                        os._exit(BACKEND_FATAL_EXIT)
                 # interruptible: a fatal engine parked on its 30 s
                 # backoff must still stop() promptly
                 self._stop.wait(30.0 if self.fatal

@@ -34,12 +34,7 @@ __all__ = ["AMDemod", "SSBDemod", "CWDemod", "NFMDemod", "WFMDemod"]
 
 def _budget_lowpass(cutoff: float, trans: float, fs: float,
                     max_taps: int) -> np.ndarray:
-    """low_pass with the transition floored so the design fits a static
-    tap budget (RuntimeFIR carries [max_taps] taps in state); the cutoff
-    stays exact, only the skirt widens at extreme-narrow settings."""
-    if taps.estimate_tap_count(trans, fs) > max_taps:
-        trans = 3.8 * fs / max_taps
-    return taps.low_pass(cutoff, trans, fs)
+    return taps.budget_low_pass(cutoff, trans, fs, max_taps)
 
 
 class AMDemod(Block):

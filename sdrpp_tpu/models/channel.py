@@ -81,11 +81,9 @@ class RxVFO(Block):
         if bandwidth >= self.out_samplerate:
             return np.ones(1, np.float32)
         fw = bandwidth / 2.0
-        trans = fw * 0.1
-        if taps_mod.estimate_tap_count(trans, self.out_samplerate) \
-                > self.max_taps:
-            trans = 3.8 * self.out_samplerate / self.max_taps
-        return taps_mod.low_pass(fw, trans, self.out_samplerate)
+        return taps_mod.budget_low_pass(fw, fw * 0.1,
+                                        self.out_samplerate,
+                                        self.max_taps)
 
     def out_count(self, n: int) -> int:
         return self.resamp.out_count(n)

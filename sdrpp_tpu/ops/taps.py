@@ -76,6 +76,18 @@ def low_pass(cutoff: float, trans_width: float, samplerate: float,
     return windowed_sinc(count, hz_to_rads(cutoff, samplerate))
 
 
+def budget_low_pass(cutoff: float, trans_width: float, samplerate: float,
+                    max_taps: int) -> np.ndarray:
+    """low_pass with the transition floored so the design fits a static
+    tap budget (RuntimeFIR carries [max_taps] taps in state): the cutoff
+    stays exact, only the skirt widens at extreme-narrow settings.
+    Shared by the runtime-bandwidth VFO channel filter and the demod
+    audio filters so the floor formula lives in ONE place."""
+    if estimate_tap_count(trans_width, samplerate) > max_taps:
+        trans_width = 3.8 * samplerate / max_taps
+    return low_pass(cutoff, trans_width, samplerate)
+
+
 def high_pass(cutoff: float, trans_width: float, samplerate: float,
               odd_tap_count: bool = False) -> np.ndarray:
     """High-pass by spectral inversion of a low-pass at fs/2-cutoff

@@ -770,6 +770,34 @@ def test_set_bandwidth_is_a_state_write_not_a_rebuild():
         eng.stop()
 
 
+def test_raw_bandwidth_change_rebuilds_cleanly():
+    """RAW channels have dynamic_bandwidth OFF (no bandwidth-dependent
+    stage), so a raw bandwidth change is structural: the graph key must
+    INCLUDE bandwidth for raw or _adopt carries a shape-mismatched
+    state into the rebuilt graph (r5 review finding: the engine then
+    walks the recovery ladder instead of a clean rebuild)."""
+    eng = _engine()
+    try:
+        eng.start()
+        assert _wait(lambda: eng.blocks >= 1), eng.error
+        eng.control("set_mode", "raw")
+        assert _settle(eng, timeout=240)
+        assert eng._built_cfgs["vfo0"]["mode"] == "raw"
+        f0 = eng.failures
+        eng.control("set_bandwidth", 30000.0)
+        assert _wait(lambda: eng._built_cfgs["vfo0"].get("bandwidth")
+                     is not None, timeout=240)
+        b0 = eng.blocks
+        assert _wait(lambda: eng.blocks >= b0 + 2), eng.error
+        # clean rebuild: no ladder trips, no errors
+        assert eng.failures == f0 and eng.error is None
+        # raw/digital bandwidths snap to the compile-safe grid
+        from sdrpp_tpu.misc.webui import _DIGITAL_BW_GRID
+        assert eng.vfos["vfo0"]["bandwidth"] in _DIGITAL_BW_GRID
+    finally:
+        eng.stop()
+
+
 def test_adopt_carries_untouched_vfo_state():
     """Swapping to a new graph (async rebuild) must hand untouched VFOs
     their carried DSP state unchanged — retuning/rebuilding one VFO must

@@ -82,7 +82,11 @@ def main() -> None:
 
     i = 0
     while True:
-        rec = sample_once(args.lock)
+        try:
+            rec = sample_once(args.lock)
+        except Exception as e:  # the campaign must outlive any hiccup
+            rec = {"ts": time.time(),
+                   "error": f"{type(e).__name__}: {e}"[:200]}
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(rec, flush=True)

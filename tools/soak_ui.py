@@ -166,7 +166,13 @@ def main():
                   if c["mode"] not in ("meteor",)]
         counts = {v: eng.audio_written(v) for v in analog}
         prev = last_audio.setdefault("counts", {})
-        if analog and any(counts[v] > prev.get(v, -1) for v in counts):
+        # a VFO is "advancing" if its counter grew since last check; a
+        # BRAND-NEW vfo only counts once it has actually written audio
+        # (written=0 > -1 would let add_vfo churn mask a real stall)
+        advanced = any(
+            counts[v] > prev[v] if v in prev else counts[v] > 0
+            for v in counts)
+        if analog and advanced:
             last_audio["t"] = time.time()
         elif analog and time.time() - last_audio["t"] > 60.0:
             problems.append(f"audio stalled >60 s at action {actions} "

@@ -1036,6 +1036,45 @@ def test_ladder_rung4_declares_fatal_after_exhaustion(monkeypatch):
         eng.stop()
 
 
+def test_supervised_engine_exits_86_on_fatal():
+    """Under SDRPP_TPU_SUPERVISED the rung-4 fatal path must actually
+    os._exit(BACKEND_FATAL_EXIT) — executed for real in a subprocess
+    (the handshake the supervisor loop restarts on)."""
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import os, sys, time
+import jax; jax.config.update("jax_platforms", "cpu")
+from sdrpp_tpu.io.sources import TestSource
+from sdrpp_tpu.misc.webui import ReceiverEngine
+src = TestSource(250000.0, tones=[(50000.0, -20.0)], noise_dbfs=-90.0)
+eng = ReceiverEngine(src, mode="nfm", offset=50000.0, realtime=False,
+                     base_block=65536, fft_size=4096)
+eng.start()
+t0 = time.time()
+while eng.blocks < 1 and time.time() - t0 < 240:
+    time.sleep(0.1)
+assert eng.blocks >= 1, eng.error
+
+def boom(*a, **kw):
+    raise RuntimeError("UNIMPLEMENTED: TPU backend error")
+
+eng._step = boom
+type(eng)._plan = boom
+eng._thread.join(120)  # the fatal path os._exit()s from the engine
+print("ENGINE THREAD RETURNED WITHOUT EXIT", flush=True)
+sys.exit(3)
+"""
+    env = dict(os.environ, SDRPP_TPU_SUPERVISED="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=600)
+    from sdrpp_tpu.misc.webui import BACKEND_FATAL_EXIT
+    assert r.returncode == BACKEND_FATAL_EXIT, \
+        (r.returncode, r.stdout[-500:], r.stderr[-1000:])
+
+
 def test_supervisor_restarts_on_backend_fatal():
     """cli's _supervise loop: restart on BACKEND_FATAL_EXIT, propagate
     any other exit code."""
